@@ -1,0 +1,110 @@
+"""Unit tests for the core recurrence and iteration semantics.
+
+Mirrors the reference's inline unit tests (``src/algorithms/mod.rs:384-428``):
+single recurrence step against hand-computed coefficients, deliberate
+breakdown, and zero-vector rejection.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.core import (
+    breakdown_tolerance,
+    l2_norm,
+    lanczos_recurrence_step,
+)
+
+
+def test_single_recurrence_step_known_values():
+    # A = tridiag(1, 2, 1) 4x4, b = e1:
+    #   w = A e1 = [2,1,0,0]; alpha = 2; w - alpha*v1 = [0,1,0,0]; beta = 1.
+    a = jnp.array(
+        [[2.0, 1, 0, 0], [1, 2, 1, 0], [0, 1, 2, 1], [0, 0, 1, 2]],
+        dtype=jnp.float64,
+    )
+    v1 = jnp.array([1.0, 0, 0, 0], dtype=jnp.float64)
+    alpha, beta, w = lanczos_recurrence_step(
+        lambda x: a @ x, v1, jnp.zeros_like(v1), jnp.zeros((), jnp.float64)
+    )
+    assert float(alpha) == pytest.approx(2.0, abs=1e-15)
+    assert float(beta) == pytest.approx(1.0, abs=1e-15)
+    np.testing.assert_allclose(np.asarray(w), [0, 1, 0, 0], atol=1e-15)
+
+
+def test_breakdown_on_invariant_subspace():
+    # diag(2, 3) with b = e1: the 1-D span{e1} is invariant -> breakdown after
+    # exactly one step (reference ``mod.rs:409-419``).
+    op = tpl.DiagonalOperator(jnp.array([2.0, 3.0], dtype=jnp.float64))
+    b = jnp.array([1.0, 0.0], dtype=jnp.float64)
+    decomp = tpl.lanczos_pass_one(op, b, k=5)
+    assert decomp.steps() == 1
+    np.testing.assert_allclose(decomp.alphas_valid(), [2.0], atol=1e-15)
+    assert decomp.betas_valid().shape == (0,)
+    # padded entries are exactly zero
+    assert np.all(np.asarray(decomp.alphas)[1:] == 0.0)
+    assert np.all(np.asarray(decomp.betas) == 0.0)
+
+
+def test_zero_vector_rejected():
+    op = tpl.DiagonalOperator(jnp.ones(4, dtype=jnp.float64))
+    b = jnp.zeros(4, dtype=jnp.float64)
+    with pytest.raises(tpl.InputError):
+        tpl.lanczos(op, b, 3, tpl.make_inv_solver())
+    with pytest.raises(tpl.InputError):
+        tpl.lanczos_two_pass(op, b, 3, tpl.make_inv_solver())
+
+
+def test_breakdown_tolerance_matches_reference_for_f64():
+    # Reference: 1000 * f64::EPSILON (``src/algorithms/mod.rs:140-143``).
+    assert breakdown_tolerance(jnp.float64) == pytest.approx(
+        1000.0 * np.finfo(np.float64).eps
+    )
+
+
+def test_l2_norm_complex():
+    x = jnp.array([3 + 4j, 0.0], dtype=jnp.complex128)
+    assert float(l2_norm(x)) == pytest.approx(5.0, rel=1e-15)
+    assert l2_norm(x).dtype == jnp.float64
+
+
+def test_decomposition_shapes_full_run():
+    n, k = 50, 10
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((n, n))
+    a = jnp.asarray((m + m.T) / 2)
+    b = jnp.asarray(rng.standard_normal(n))
+    decomp = tpl.lanczos_pass_one(tpl.as_operator(a), b, k)
+    assert decomp.steps() == k
+    assert decomp.alphas_valid().shape == (k,)
+    assert decomp.betas_valid().shape == (k - 1,)
+    assert decomp.beta_last() > 0.0
+
+
+def test_one_pass_basis_orthonormal_small():
+    n, k = 60, 12
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((n, n))
+    a = jnp.asarray((m + m.T) / 2)
+    b = jnp.asarray(rng.standard_normal(n))
+    decomp, v = tpl.lanczos_standard(tpl.as_operator(a), b, k)
+    v = np.asarray(v)[: decomp.steps()]  # (k, n)
+    gram = v @ v.T
+    np.testing.assert_allclose(gram, np.eye(decomp.steps()), atol=1e-12)
+
+
+def test_dimension_mismatch():
+    op = tpl.DiagonalOperator(jnp.ones(4, dtype=jnp.float64))
+    b = jnp.ones(5, dtype=jnp.float64)
+    with pytest.raises(tpl.DimensionMismatchError):
+        tpl.lanczos(op, b, 3, tpl.make_inv_solver())
+
+
+def test_parameter_mismatch_from_bad_solver():
+    op = tpl.DiagonalOperator(jnp.arange(1.0, 9.0, dtype=jnp.float64))
+    b = jnp.ones(8, dtype=jnp.float64)
+    with pytest.raises(tpl.ParameterMismatchError):
+        tpl.lanczos(op, b, 4, lambda a, bb: np.ones(99))
+    with pytest.raises(tpl.SolverError):
+        tpl.lanczos(op, b, 4, lambda a, bb: 1 / 0)

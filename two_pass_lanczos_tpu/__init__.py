@@ -1,0 +1,103 @@
+"""two_pass_lanczos_tpu — a TPU-native sparse Krylov library for f(A)·b.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the Rust
+reference ``lukefleed/two-pass-lanczos``: computing the action of a matrix
+function on a vector, x = f(A)·b, for large sparse Hermitian A via the
+symmetric Lanczos process, in two variants with an explicit memory/compute
+trade-off (reference ``src/lib.rs:11-22``):
+
+* **one-pass** (``lanczos``): stores the Krylov basis, O(nk) memory, k matvecs;
+* **two-pass** (``lanczos_two_pass``): O(n) memory, 2k matvecs — pass one keeps
+  only the tridiagonal coefficients, pass two regenerates the basis on the fly.
+
+Beyond the reference, the library is distributed by construction: operators
+row-partition over a ``jax.sharding.Mesh`` and the same scan loops run under
+``shard_map`` with ``psum``-fused reductions (see ``parallel/``).
+
+Quick example (the analogue of the reference's crate doctest,
+``src/lib.rs:35-84``)::
+
+    import jax.numpy as jnp
+    import two_pass_lanczos_tpu as tpl
+
+    a = jnp.array([[2.0, 1, 0, 0], [1, 3, 1, 0], [0, 1, 4, 1], [0, 0, 1, 5]])
+    b = jnp.array([1.0, 2.0, 3.0, 4.0])
+    op = tpl.as_operator(a)
+    solver = tpl.make_inv_solver()
+    x1 = tpl.lanczos(op, b, 4, solver)          # one-pass
+    x2 = tpl.lanczos_two_pass(op, b, 4, solver) # two-pass
+    assert jnp.linalg.norm(x1 - x2) < 1e-12 * jnp.linalg.norm(x1)
+"""
+
+from two_pass_lanczos_tpu.algorithms import (
+    LanczosDecomposition,
+    breakdown_tolerance,
+    lanczos_pass_one,
+    lanczos_pass_two,
+    lanczos_pass_two_with_basis,
+    lanczos_standard,
+)
+from two_pass_lanczos_tpu.errors import (
+    BreakdownError,
+    DimensionMismatchError,
+    EvdError,
+    InputError,
+    LanczosError,
+    ParameterMismatchError,
+    SolverError,
+)
+from two_pass_lanczos_tpu.functions import (
+    make_exp_solver,
+    make_function_solver,
+    make_inv_solver,
+    make_poly_solver,
+    padded_f_e1,
+)
+from two_pass_lanczos_tpu.operators import (
+    CallableOperator,
+    DenseOperator,
+    DiagonalOperator,
+    KKTOperator,
+    LinearOperator,
+    SparseOperator,
+    as_operator,
+)
+from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # solvers (the reference's crate-root re-exports, src/lib.rs:101)
+    "lanczos",
+    "lanczos_two_pass",
+    "solve_fAb",
+    # algorithms
+    "lanczos_standard",
+    "lanczos_pass_one",
+    "lanczos_pass_two",
+    "lanczos_pass_two_with_basis",
+    "LanczosDecomposition",
+    "breakdown_tolerance",
+    # operators
+    "LinearOperator",
+    "DenseOperator",
+    "DiagonalOperator",
+    "SparseOperator",
+    "KKTOperator",
+    "CallableOperator",
+    "as_operator",
+    # matrix functions
+    "make_inv_solver",
+    "make_exp_solver",
+    "make_function_solver",
+    "make_poly_solver",
+    "padded_f_e1",
+    # errors
+    "LanczosError",
+    "BreakdownError",
+    "DimensionMismatchError",
+    "InputError",
+    "ParameterMismatchError",
+    "EvdError",
+    "SolverError",
+]

@@ -1,0 +1,193 @@
+"""High-level f(A)·b solvers — the primary user API.
+
+Reference parity: ``solvers::lanczos`` and ``solvers::lanczos_two_pass``
+(``src/solvers.rs:46,133``), re-exported at the package root like the
+reference's crate root (``src/lib.rs:101``).
+
+Two API flavors:
+
+* :func:`lanczos` / :func:`lanczos_two_pass` — host-orchestrated, exact
+  reference semantics: a user ``f_tk_solver(alphas, betas) -> y'`` closure is
+  called with the *valid* coefficient prefix (dynamic length), its result is
+  dimension-validated, and errors map onto the reference taxonomy. The heavy
+  passes are individually jit-compiled; only the tiny (α, β) arrays cross the
+  host boundary between them.
+* :func:`solve_fAb` — a single fully-jittable pipeline for the built-in
+  matrix functions, with fixed shapes end-to-end (breakdown handled by
+  block-diagonal padding). This is the production/TPU fast path and the form
+  that distributes over a device mesh unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_pass_lanczos_tpu.algorithms.core import (
+    LanczosDecomposition,
+    breakdown_tolerance,
+    pass_one_scan,
+)
+from two_pass_lanczos_tpu.algorithms.two_pass import (
+    lanczos_pass_two,
+    lanczos_pass_two_with_basis,
+)
+from two_pass_lanczos_tpu.errors import (
+    DimensionMismatchError,
+    InputError,
+    ParameterMismatchError,
+    SolverError,
+)
+from two_pass_lanczos_tpu.functions import padded_f_e1
+from two_pass_lanczos_tpu.operators import LinearOperator
+
+__all__ = ["lanczos", "lanczos_two_pass", "solve_fAb"]
+
+
+def _validate_inputs(operator: LinearOperator, b, k: int):
+    n = operator.shape[0]
+    if operator.shape[0] != operator.shape[1]:
+        raise DimensionMismatchError(operator.shape[0], operator.shape[1], "operator")
+    if b.shape != (n,):
+        raise DimensionMismatchError(n, b.shape[0] if b.ndim else 0, "vector b")
+    if k < 1:
+        raise InputError(f"k must be >= 1, got {k}")
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pass_one_jit(matvec_op, b, k: int, emit_basis: bool):
+    return pass_one_scan(matvec_op.matvec, b, k, emit_basis=emit_basis)
+
+
+def _run_f_solver(f_tk_solver, decomp: LanczosDecomposition):
+    """Call the user closure on the valid (α, β) prefix and validate."""
+    steps = decomp.steps()
+    alphas = decomp.alphas_valid()
+    betas = decomp.betas_valid()
+    try:
+        y = f_tk_solver(alphas, betas)
+    except Exception as e:  # noqa: BLE001 — reference wraps any solver error
+        raise SolverError(str(e)) from e
+    y = np.asarray(y).reshape(-1)
+    if y.shape[0] != steps:
+        raise ParameterMismatchError("y_k_prime", steps, y.shape[0])
+    return y
+
+
+def _check_zero_b(decomp: LanczosDecomposition, b):
+    tol = breakdown_tolerance(b.dtype)
+    if float(decomp.b_norm) <= tol:
+        raise InputError("Input vector `b` must not be a zero vector.")
+
+
+def lanczos(
+    operator: LinearOperator,
+    b,
+    k: int,
+    f_tk_solver: Callable,
+) -> jax.Array:
+    """One-pass f(A)·b: run ``lanczos_standard``, solve the projected problem,
+    reconstruct ``x_k = V_k · y'_k · ‖b‖`` with a single GEMV.
+
+    Reference parity: ``solvers::lanczos`` (``src/solvers.rs:46-105``).
+    """
+    b = jnp.asarray(b)
+    _validate_inputs(operator, b, k)
+    decomp, v_k = _pass_one_jit(operator, b, k, True)
+    _check_zero_b(decomp, b)
+    steps = decomp.steps()
+    if steps == 0:
+        return jnp.zeros_like(b)
+    y = _run_f_solver(f_tk_solver, decomp)
+    # Pad y to the static length k; rows of v_k beyond `steps` are zero.
+    y_full = np.zeros((k,), dtype=np.asarray(y).dtype)
+    y_full[:steps] = y
+    y_dev = jnp.asarray(y_full).astype(b.dtype) * decomp.b_norm.astype(b.dtype)
+    return _gemv_reconstruct(v_k, y_dev)
+
+
+@jax.jit
+def _gemv_reconstruct(v_k, y):
+    # x = V_kᵀ · y  with V stored (k, n): one MXU GEMV.
+    return jnp.einsum("kn,k->n", v_k, y)
+
+
+def lanczos_two_pass(
+    operator: LinearOperator,
+    b,
+    k: int,
+    f_tk_solver: Callable,
+    *,
+    return_basis: bool = False,
+):
+    """Two-pass f(A)·b with O(n) memory.
+
+    Reference parity: ``solvers::lanczos_two_pass`` (``src/solvers.rs:133-175``):
+    pass one → user ``f_tk_solver`` → scale by ‖b‖ → reconstruction pass.
+    ``return_basis=True`` exposes the regenerated basis for the
+    orthogonality/reconstruction-stability studies (reference
+    ``lanczos_pass_two_with_basis``).
+    """
+    b = jnp.asarray(b)
+    _validate_inputs(operator, b, k)
+    decomp, _ = _pass_one_jit(operator, b, k, False)
+    _check_zero_b(decomp, b)
+    steps = decomp.steps()
+    if steps == 0:
+        z = jnp.zeros_like(b)
+        return (z, jnp.zeros((0, b.shape[0]), b.dtype)) if return_basis else z
+    y = _run_f_solver(f_tk_solver, decomp)
+    y_full = np.zeros((k,), dtype=np.asarray(y).dtype)
+    y_full[:steps] = y
+    y_dev = jnp.asarray(y_full).astype(b.dtype) * decomp.b_norm.astype(b.dtype)
+    if return_basis:
+        return _pass_two_basis_jit(operator, b, decomp, y_dev)
+    return _pass_two_jit(operator, b, decomp, y_dev)
+
+
+@jax.jit
+def _pass_two_jit(operator, b, decomp, y):
+    return lanczos_pass_two(operator, b, decomp, y)
+
+
+@jax.jit
+def _pass_two_basis_jit(operator, b, decomp, y):
+    return lanczos_pass_two_with_basis(operator, b, decomp, y)
+
+
+# ---------------------------------------------------------------------------
+# Fully-jittable fast path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "f", "method"))
+def solve_fAb(
+    operator: LinearOperator,
+    b: jax.Array,
+    *,
+    k: int,
+    f="exp",
+    method: str = "two_pass",
+) -> jax.Array:
+    """Single-jit f(A)·b for built-in matrix functions.
+
+    ``f`` ∈ {"exp", "inv"} or any scalar jnp-callable applied to the spectrum.
+    ``method`` ∈ {"one_pass", "two_pass"}. Fixed shapes throughout; breakdown
+    and zero-b degrade gracefully (zero output), making this safe inside
+    larger jitted programs and over sharded meshes.
+    """
+    if method == "one_pass":
+        decomp, v_k = pass_one_scan(operator.matvec, b, k, emit_basis=True)
+        y = padded_f_e1(decomp, f)
+        y = (y * decomp.b_norm).astype(b.dtype)
+        return jnp.einsum("kn,k->n", v_k, y)
+    elif method == "two_pass":
+        decomp, _ = pass_one_scan(operator.matvec, b, k, emit_basis=False)
+        y = padded_f_e1(decomp, f)
+        y = (y * decomp.b_norm).astype(b.dtype)
+        return lanczos_pass_two(operator, b, decomp, y)
+    else:
+        raise ValueError(f"unknown method {method!r}")
