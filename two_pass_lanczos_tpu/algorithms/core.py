@@ -58,9 +58,15 @@ def _real_dtype(dtype):
     return jnp.finfo(dtype).dtype
 
 
-def l2_norm(x: jax.Array) -> jax.Array:
-    """L2 norm returning the real dtype of ``x`` (works for complex)."""
+def l2_norm(x: jax.Array, reduce_sum=None) -> jax.Array:
+    """L2 norm returning the real dtype of ``x`` (works for complex).
+
+    ``reduce_sum`` finishes a partial sum across devices (e.g.
+    ``lambda s: lax.psum(s, axis)`` under ``shard_map``); identity by default.
+    """
     s = jnp.sum(jnp.real(x * jnp.conj(x)))
+    if reduce_sum is not None:
+        s = reduce_sum(s)
     return jnp.sqrt(s).astype(_real_dtype(x.dtype))
 
 
@@ -160,6 +166,7 @@ def lanczos_recurrence_step(
     v_curr: jax.Array,
     v_prev: jax.Array,
     beta_prev: jax.Array,
+    reduce_sum=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One fully-orthogonalized recurrence step.
 
@@ -176,13 +183,16 @@ def lanczos_recurrence_step(
     dt = v_curr.dtype
     w = matvec(v_curr)
     w = w - beta_prev.astype(dt) * v_prev
-    alpha = jnp.real(jnp.vdot(v_curr, w)).astype(_real_dtype(dt))
+    alpha_partial = jnp.real(jnp.vdot(v_curr, w))
+    if reduce_sum is not None:
+        alpha_partial = reduce_sum(alpha_partial)
+    alpha = alpha_partial.astype(_real_dtype(dt))
     w = w - alpha.astype(dt) * v_curr
-    beta = l2_norm(w)
+    beta = l2_norm(w, reduce_sum)
     return alpha, beta, w
 
 
-def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool):
+def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool, reduce_sum=None):
     """Run ``k`` recurrence steps as one ``lax.scan``.
 
     Returns ``(decomposition, basis_or_none)`` where ``basis`` has shape
@@ -198,13 +208,13 @@ def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool):
         raise ValueError("k must be >= 1")
     tol = breakdown_tolerance(b.dtype)
     rdt = _real_dtype(b.dtype)
-    b_norm = l2_norm(b)
+    b_norm = l2_norm(b, reduce_sum)
     carry0 = init_carry(b, b_norm, tol)
 
     def step(carry: LanczosCarry, _):
         executed = jnp.logical_not(carry.done)
         alpha, beta, w = lanczos_recurrence_step(
-            matvec, carry.v_curr, carry.v_prev, carry.beta_prev
+            matvec, carry.v_curr, carry.v_prev, carry.beta_prev, reduce_sum
         )
         breakdown = beta <= jnp.asarray(tol, rdt)
         advance = jnp.logical_and(executed, jnp.logical_not(breakdown))

@@ -1,0 +1,211 @@
+"""Row-sharded sparse operator and distributed f(A)·b solves.
+
+Execution model (BASELINE.json north star): the operator's rows and every
+n-vector are sharded over a 1-D mesh axis; each Lanczos step inside the
+jitted ``lax.scan`` does
+
+1. ``all_gather`` of the current Krylov vector over the mesh axis (the
+   remote-segment exchange; rides ICI within a slice),
+2. the local row-block SpMV (gather + monotonic segment-sum),
+3. the two scalar reductions (α dot product, β norm) as cross-device
+   ``psum``s of local partials.
+
+The whole two-pass pipeline — pass one, the replicated k×k projected solve,
+and the reconstruction pass — lives inside **one** ``shard_map`` under one
+``jit``, so XLA schedules collectives and compute together.
+
+Numerical note: per-device-count reduction orders differ, so N-device results
+match 1-device results to rounding tolerance (validated by tests), while the
+two-pass exact-replay property (drift == 0) holds *within* any fixed device
+count — the same guarantee the reference offers on one thread.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition, pass_one_scan
+from two_pass_lanczos_tpu.algorithms.two_pass import _reconstruction_scan
+from two_pass_lanczos_tpu.functions import padded_f_e1
+from two_pass_lanczos_tpu.parallel.partition import (
+    RowPartition,
+    build_local_blocks,
+    snake_partition,
+)
+from two_pass_lanczos_tpu.ops.spmv import SortedCOO
+
+__all__ = ["ShardedSparseOperator"]
+
+
+def _local_matvec(lr, lc, lv, x_local, axis, rows_per):
+    """y_local = (local row block of A) @ x, with x sharded over `axis`."""
+    x_full = lax.all_gather(x_local, axis, tiled=True)
+    gathered = lv * jnp.take(x_full, lc, axis=0)
+    return jax.ops.segment_sum(
+        gathered, lr, num_segments=rows_per, indices_are_sorted=True
+    ).astype(x_local.dtype)
+
+
+class ShardedSparseOperator:
+    """A symmetric sparse operator row-partitioned over a 1-D device mesh.
+
+    Build from COO triplets (or a :class:`SortedCOO`); rows are permuted for
+    nnz balance (see ``partition.snake_partition``), vectors are padded to
+    ``rows_per · ndev`` and sharded.
+
+    Distribution is transparent at the API surface: ``solve_fAb`` accepts and
+    returns ordinary (original-order, unpadded) vectors.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        rows,
+        cols,
+        vals,
+        mesh: Mesh,
+        axis: str = "rows",
+        dtype=None,
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.devices.size
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        self.dtype = vals.dtype
+
+        nnz_per_row = np.bincount(np.asarray(rows, dtype=np.int64), minlength=n)
+        self.part: RowPartition = snake_partition(nnz_per_row, ndev)
+        lr, lc, lv = build_local_blocks(rows, cols, vals, self.part)
+
+        blk_sharding = NamedSharding(mesh, P(axis, None))
+        self.local_rows = jax.device_put(lr, blk_sharding)
+        self.local_cols = jax.device_put(lc, blk_sharding)
+        self.local_vals = jax.device_put(lv, blk_sharding)
+        self.vec_sharding = NamedSharding(mesh, P(axis))
+        self._solve_cache = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_coo(cls, coo: SortedCOO, mesh: Mesh, axis: str = "rows"):
+        rows = np.asarray(coo.rows)[: coo.nnz]
+        cols = np.asarray(coo.cols)[: coo.nnz]
+        vals = np.asarray(coo.vals)[: coo.nnz]
+        return cls(coo.shape[0], rows, cols, vals, mesh, axis)
+
+    @classmethod
+    def from_kkt_arrays(cls, arrays, mesh: Mesh, axis: str = "rows", dtype=np.float64):
+        """Directly from loader output — assembles the 5m KKT triplets."""
+        m, p = arrays.num_arcs, arrays.num_nodes
+        j = np.arange(m, dtype=np.int64)
+        au = arrays.arc_u.astype(np.int64) + m
+        av = arrays.arc_v.astype(np.int64) + m
+        rows = np.concatenate([j, au, av, j, j])
+        cols = np.concatenate([j, j, j, au, av])
+        ones = np.ones(m, dtype=dtype)
+        vals = np.concatenate([arrays.quad_costs.astype(dtype), ones, -ones, ones, -ones])
+        return cls(m + p, rows, cols, vals, mesh, axis, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.part.n_orig
+        return (n, n)
+
+    @property
+    def nnz_per_device(self) -> np.ndarray:
+        return self.part.nnz_per_dev
+
+    def _prepare_b(self, b) -> jax.Array:
+        b = np.asarray(b)
+        if b.shape[0] != self.part.n_orig:
+            raise ValueError(f"b has length {b.shape[0]}, operator is {self.part.n_orig}")
+        bp = np.zeros(self.part.n_pad, dtype=self.dtype)
+        bp[: self.part.n_orig] = b
+        bp = bp[self.part.perm]
+        return jax.device_put(jnp.asarray(bp), self.vec_sharding)
+
+    def _restore_x(self, x_perm) -> np.ndarray:
+        x = np.asarray(x_perm)[self.part.inv_perm]
+        return x[: self.part.n_orig]
+
+    # ------------------------------------------------------------------
+    def _build_solve(self, k: int, f, method: str):
+        axis, rows_per = self.axis, self.part.rows_per
+
+        def run(lr, lc, lv, b_local):
+            lr, lc, lv = lr[0], lc[0], lv[0]  # strip the sharded leading dim
+            matvec = lambda x: _local_matvec(lr, lc, lv, x, axis, rows_per)
+            reduce_sum = lambda s: lax.psum(s, axis)
+            emit = method == "one_pass"
+            decomp, basis = pass_one_scan(
+                matvec, b_local, k, emit_basis=emit, reduce_sum=reduce_sum
+            )
+            y = padded_f_e1(decomp, f)  # replicated k×k solve on every device
+            y = (y * decomp.b_norm).astype(b_local.dtype)
+            if method == "one_pass":
+                x_local = jnp.einsum("kn,k->n", basis, y)
+            else:
+                x_local, _ = _reconstruction_scan(
+                    matvec, b_local, decomp, y, emit_basis=False
+                )
+            return x_local, decomp.alphas, decomp.betas, decomp.steps_taken
+
+        shmapped = jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+            out_specs=(P(axis), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shmapped)
+
+    def _solver(self, k: int, f, method: str):
+        key = (k, f, method)
+        if key not in self._solve_cache:
+            self._solve_cache[key] = self._build_solve(k, f, method)
+        return self._solve_cache[key]
+
+    def solve_fAb(self, b, *, k: int, f="exp", method: str = "two_pass"):
+        """Distributed f(A)·b. Returns ``(x, decomposition)``.
+
+        ``x`` is a NumPy array in original row order; the decomposition's
+        (α, β, steps) are replica-identical device arrays.
+        """
+        b_local = self._prepare_b(b)
+        x_perm, alphas, betas, steps = self._solver(k, f, method)(
+            self.local_rows, self.local_cols, self.local_vals, b_local
+        )
+        decomp = LanczosDecomposition(
+            alphas=alphas, betas=betas, steps_taken=steps,
+            b_norm=jnp.asarray(np.linalg.norm(np.asarray(b)), alphas.dtype),
+        )
+        return self._restore_x(x_perm), decomp
+
+    # ------------------------------------------------------------------
+    def matvec_distributed(self, x) -> np.ndarray:
+        """One distributed SpMV (for tests/benchmarks); original order in/out."""
+        axis, rows_per = self.axis, self.part.rows_per
+
+        def run(lr, lc, lv, x_local):
+            return _local_matvec(lr[0], lc[0], lv[0], x_local, axis, rows_per)
+
+        fn = jax.jit(
+            jax.shard_map(
+                run,
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+        y = fn(self.local_rows, self.local_cols, self.local_vals, self._prepare_b(x))
+        return self._restore_x(y)
