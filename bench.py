@@ -1,0 +1,78 @@
+"""Headline benchmark: two-pass f(A)b, k=500, 500k-arc rho=3 KKT system.
+
+Reference baseline: 5.28 s on one Xeon core (``BASELINE.md`` — scalability
+k=500, n=501,155, two-pass). Prints one JSON line; ``vs_baseline`` is the
+speedup factor (>1 = faster than the reference).
+
+Measurement notes: this environment tunnels the TPU, so async dispatch makes
+``block_until_ready`` unreliable — every sample forces a full host readback
+of a scalar reduction of the result, and the compile call is excluded.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import two_pass_lanczos_tpu as tpl
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+
+    backend = jax.default_backend()
+    arcs, rho, k = 500_000, 3, 500
+    ref_time_s = 5.28  # reference two-pass @ k=500, n=501,155
+
+    inst = generate_mcf_instance(arcs, rho=rho, instance_id=1)
+    m, p = inst.num_arcs, inst.num_nodes
+    n = m + p
+
+    if backend == "tpu":
+        dtype = np.float32
+        op = tpl.make_kkt_operator(
+            inst.quad_costs.astype(dtype), inst.arc_u, inst.arc_v, p,
+            backend="pallas",
+        )
+    else:
+        dtype = np.float64
+        jax.config.update("jax_enable_x64", True)
+        op = tpl.make_kkt_operator(
+            inst.quad_costs.astype(dtype), inst.arc_u, inst.arc_v, p,
+            backend="xla",
+        )
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(n).astype(dtype))
+
+    def run(bb):
+        x = tpl.solve_fAb(op, bb, k=k, f="inv", method="two_pass")
+        return float(jnp.sum(x * x))  # forced device->host readback
+
+    run(b)  # compile
+    samples = []
+    for i in range(3):
+        bb = b * (1.0 + 1e-6 * (i + 1))  # distinct inputs defeat result caching
+        t0 = time.perf_counter()
+        run(bb)
+        samples.append(time.perf_counter() - t0)
+    t = min(samples)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
+                "value": round(t, 4),
+                "unit": "s",
+                "vs_baseline": round(ref_time_s / t, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,8 +59,10 @@ from two_pass_lanczos_tpu.operators import (
     DiagonalOperator,
     KKTOperator,
     LinearOperator,
+    PallasKKTOperator,
     SparseOperator,
     as_operator,
+    make_kkt_operator,
 )
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
 
@@ -84,6 +86,8 @@ __all__ = [
     "DiagonalOperator",
     "SparseOperator",
     "KKTOperator",
+    "PallasKKTOperator",
+    "make_kkt_operator",
     "CallableOperator",
     "as_operator",
     # matrix functions

@@ -33,6 +33,8 @@ __all__ = [
     "DiagonalOperator",
     "SparseOperator",
     "KKTOperator",
+    "PallasKKTOperator",
+    "make_kkt_operator",
     "CallableOperator",
     "as_operator",
 ]
@@ -174,6 +176,101 @@ class KKTOperator(LinearOperator):
 
     def matvec(self, x):
         return kkt_matvec(self.d, self.arc_u, self.arc_v, self.num_nodes, x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PallasKKTOperator(LinearOperator):
+    """KKT operator whose matvec is the fused Pallas TPU kernel.
+
+    Same mathematical object as :class:`KKTOperator` but with arrays
+    pre-padded for the kernel's static block geometry (see
+    ``ops/spmv_pallas.py``). Use :func:`make_kkt_operator` with
+    ``backend='auto'`` to pick this on TPU and the XLA path elsewhere.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    correctness testing).
+    """
+
+    d_pad: jax.Array
+    u_pad: jax.Array
+    v_pad: jax.Array
+    num_arcs: int
+    num_nodes: int
+    interpret: bool = False
+
+    def tree_flatten(self):
+        return (self.d_pad, self.u_pad, self.v_pad), (
+            self.num_arcs,
+            self.num_nodes,
+            self.interpret,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        d_pad, u_pad, v_pad = children
+        return cls(d_pad=d_pad, u_pad=u_pad, v_pad=v_pad, num_arcs=aux[0],
+                   num_nodes=aux[1], interpret=aux[2])
+
+    @classmethod
+    def build(cls, quad_costs, arc_u, arc_v, num_nodes, dtype=jnp.float32,
+              interpret: bool = False):
+        from two_pass_lanczos_tpu.ops.spmv_pallas import pad_kkt_for_pallas
+
+        import numpy as np
+
+        d, u, v, _, _ = pad_kkt_for_pallas(
+            np.asarray(quad_costs), np.asarray(arc_u), np.asarray(arc_v),
+            int(num_nodes), dtype=np.dtype(dtype),
+        )
+        return cls(
+            d_pad=jnp.asarray(d), u_pad=jnp.asarray(u), v_pad=jnp.asarray(v),
+            num_arcs=len(np.asarray(quad_costs)), num_nodes=int(num_nodes),
+            interpret=interpret,
+        )
+
+    @property
+    def shape(self):
+        n = self.num_arcs + self.num_nodes
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.d_pad.dtype
+
+    @property
+    def nnz(self):
+        return 5 * self.num_arcs
+
+    def matvec(self, x):
+        from two_pass_lanczos_tpu.ops.spmv_pallas import kkt_matvec_pallas
+
+        return kkt_matvec_pallas(
+            self.d_pad, self.u_pad, self.v_pad, self.num_arcs, self.num_nodes,
+            x, interpret=self.interpret,
+        )
+
+
+def make_kkt_operator(quad_costs, arc_u, arc_v, num_nodes, dtype=None,
+                      backend: str = "auto") -> LinearOperator:
+    """KKT operator factory: ``backend`` ∈ {'auto', 'xla', 'pallas'}.
+
+    'auto' selects the Pallas kernel on TPU (f32) and the XLA gather/scatter
+    path elsewhere (where XLA's lowering is fine and f64 is available).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return PallasKKTOperator.build(
+            quad_costs, arc_u, arc_v, num_nodes, dtype=dtype or jnp.float32
+        )
+    if backend == "xla":
+        return KKTOperator(
+            d=jnp.asarray(quad_costs, dtype=dtype),
+            arc_u=jnp.asarray(arc_u, dtype=jnp.int32),
+            arc_v=jnp.asarray(arc_v, dtype=jnp.int32),
+            num_nodes=int(num_nodes),
+        )
+    raise ValueError(f"unknown backend {backend!r}")
 
 
 @jax.tree_util.register_pytree_node_class

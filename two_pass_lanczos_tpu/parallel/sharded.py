@@ -47,10 +47,13 @@ __all__ = ["ShardedSparseOperator"]
 def _local_matvec(lr, lc, lv, x_local, axis, rows_per):
     """y_local = (local row block of A) @ x, with x sharded over `axis`."""
     x_full = lax.all_gather(x_local, axis, tiled=True)
-    gathered = lv * jnp.take(x_full, lc, axis=0)
-    return jax.ops.segment_sum(
-        gathered, lr, num_segments=rows_per, indices_are_sorted=True
-    ).astype(x_local.dtype)
+    gathered = lv * x_full.at[lc].get(mode="promise_in_bounds")
+    y = jnp.zeros((rows_per,), dtype=x_local.dtype)
+    return y.at[lr].add(
+        gathered.astype(x_local.dtype),
+        mode="promise_in_bounds",
+        indices_are_sorted=True,
+    )
 
 
 class ShardedSparseOperator:
