@@ -1,0 +1,119 @@
+"""Shared plumbing for the experiment CLIs.
+
+Covers what the reference factors into each binary: logging setup
+(``env_logger`` → Python logging), timed solves with a peak-memory metric,
+the orchestrator/worker re-exec pattern for VmPeak isolation
+(``src/bin/tradeoff.rs:44,160-201``), and CSV writing.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import subprocess
+import sys
+import time
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+log = logging.getLogger("two_pass_lanczos_tpu")
+
+VARIANT_ENV = "LANCZOS_EXPERIMENT_VARIANT"  # reference: tradeoff.rs:44
+VARIANTS = ("standard", "two-pass")
+
+
+def setup_logging():
+    logging.basicConfig(
+        level=os.environ.get("LOG_LEVEL", "INFO"),
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+    )
+
+
+def force_cpu_f64():
+    """CPU + f64 for reference-accuracy experiments (call before device use)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def timed_solve(fn, *args, **kwargs):
+    """Run a solve with a forced readback, returning (result, seconds).
+
+    A scalar reduction is fetched to host to defeat async-dispatch and
+    result-caching artifacts (tunneled-TPU environments lie to
+    ``block_until_ready``).
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    float(jnp.sum(jnp.abs(out)))
+    return out, time.perf_counter() - t0
+
+
+def peak_memory_kb() -> int:
+    """Peak memory: PJRT device peak bytes on accelerators, VmPeak on CPU."""
+    import jax
+
+    from two_pass_lanczos_tpu.utils.perf import device_memory_stats, get_peak_rss_kb
+
+    if jax.default_backend() != "cpu":
+        stats = device_memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        if peak:
+            return int(peak) // 1024
+    return get_peak_rss_kb()
+
+
+def write_csv(path, header: Sequence[str], rows: Iterable[Sequence]):
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        for r in rows:
+            w.writerow(r)
+    log.info("wrote %s", path)
+
+
+def known_solution_problem(operator, n: int):
+    """x_true = 1/sqrt(n)·1, b = A·x_true (reference ``tradeoff.rs:235-236``)."""
+    import jax.numpy as jnp
+
+    x_true = jnp.full((n,), 1.0 / np.sqrt(n), dtype=operator.dtype)
+    b = operator.matvec(x_true)
+    return x_true, b
+
+
+def run_orchestrated(argv: List[str], parse_row) -> List[tuple]:
+    """Re-exec this CLI once per variant with VARIANT_ENV set, collecting
+    headerless CSV rows from each worker's stdout (the reference's process-
+    isolation model so VmPeak reflects one configuration)."""
+    rows: List[tuple] = []
+    for variant in VARIANTS:
+        env = dict(os.environ, **{VARIANT_ENV: variant})
+        log.info("spawning worker for variant=%s", variant)
+        proc = subprocess.run(
+            [sys.executable, "-m", argv[0], *argv[1:]],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            log.error("worker %s failed:\n%s", variant, proc.stderr[-2000:])
+            continue
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("ROW,"):
+                rows.append(parse_row(line[4:].split(",")))
+    return rows
+
+
+def emit_row(*fields):
+    """Worker-side row emission over the stdout pipe."""
+    print("ROW," + ",".join(str(f) for f in fields), flush=True)
+
+
+def worker_variant() -> Optional[str]:
+    return os.environ.get(VARIANT_ENV)

@@ -1,0 +1,86 @@
+"""Dense compute-bound trade-off (reference ``src/bin/dense_tradeoff.rs``).
+
+A = B + Bᵀ with random B (seed 42); in this O(n²)-matvec regime two-pass
+costs ≈ 2× one-pass time — the validation of the compute/memory trade-off
+(reference ``tex/report.tex:419``). CSV schema: ``variant,k,time_s,rss_kb``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+MODULE = "two_pass_lanczos_tpu.experiments.dense_tradeoff"
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--size", type=int, default=10_000, help="matrix dimension n")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--k-start", type=int, default=100)
+    p.add_argument("--k-end", type=int, default=1000)
+    p.add_argument("--k-step", type=int, default=100)
+    p.add_argument("--output", required=True)
+    p.add_argument("--isolate", action="store_true")
+    p.add_argument("--cpu-f64", action="store_true")
+    return p
+
+
+def _run_variant(args, variant, emit):
+    import jax.numpy as jnp
+    import numpy as np
+
+    import two_pass_lanczos_tpu as tpl
+    from two_pass_lanczos_tpu.experiments.common import log, peak_memory_kb, timed_solve
+    from two_pass_lanczos_tpu.models.synthetic import dense_random_symmetric
+
+    import jax
+
+    dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    op = dense_random_symmetric(args.size, seed=args.seed, dtype=dtype)
+    rng = np.random.default_rng(args.seed)
+    b = jnp.asarray(rng.standard_normal(args.size), dtype=dtype)
+    method = "one_pass" if variant == "standard" else "two_pass"
+    for k in range(args.k_start, args.k_end + 1, args.k_step):
+        # warm (compile) with a forced readback, then time
+        timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        rss = peak_memory_kb()
+        log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
+        emit(variant, k, dt, rss)
+
+
+def main(argv=None) -> int:
+    from two_pass_lanczos_tpu.experiments.common import (
+        VARIANTS, emit_row, force_cpu_f64, run_orchestrated, setup_logging,
+        worker_variant, write_csv,
+    )
+
+    args = build_parser().parse_args(argv)
+    setup_logging()
+    if args.cpu_f64:
+        force_cpu_f64()
+
+    wv = worker_variant()
+    if wv is not None:
+        _run_variant(args, wv, emit_row)
+        return 0
+
+    rows = []
+    if args.isolate:
+        sub = ["--size", str(args.size), "--seed", str(args.seed),
+               "--k-start", str(args.k_start), "--k-end", str(args.k_end),
+               "--k-step", str(args.k_step), "--output", args.output]
+        if args.cpu_f64:
+            sub += ["--cpu-f64"]
+        rows = run_orchestrated(
+            [MODULE, *sub], lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]))
+        )
+    else:
+        for variant in VARIANTS:
+            _run_variant(args, variant, lambda *f: rows.append(f))
+    write_csv(args.output, ["variant", "k", "time_s", "rss_kb"], rows)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Memory/time vs k trade-off on a fixed KKT instance
+(reference ``src/bin/tradeoff.rs``).
+
+Known-solution setup: ``x_true = 1/√n``, ``b = A·x_true``; f = inv; sweep k.
+CSV schema matches ``results/tradeoff_*.csv``: ``variant,k,time_s,rss_kb``.
+
+Process model: by default both variants run in-process (on TPU the memory
+metric is per-run device memory, no isolation needed). ``--isolate``
+reproduces the reference's orchestrator/worker re-exec so that VmPeak
+reflects a single variant (``tradeoff.rs:4-7,142-213``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+MODULE = "two_pass_lanczos_tpu.experiments.tradeoff"
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dmx", help="path to the .dmx file")
+    p.add_argument("--qfc", help="path to the .qfc file")
+    p.add_argument("--arcs", type=int, help="generate an instance instead of loading")
+    p.add_argument("--rho", type=int, default=3)
+    p.add_argument("--instance-id", type=int, default=1)
+    p.add_argument("--k-start", type=int, default=50)
+    p.add_argument("--k-end", type=int, default=1000)
+    p.add_argument("--k-step", type=int, default=50)
+    p.add_argument("--output", required=True)
+    p.add_argument("--isolate", action="store_true",
+                   help="orchestrator/worker process isolation (VmPeak fidelity)")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--cpu-f64", action="store_true")
+    return p
+
+
+def _load_operator(args):
+    import two_pass_lanczos_tpu as tpl
+    from two_pass_lanczos_tpu.utils.data_loader import KKTArrays, load_kkt_arrays
+
+    if args.dmx and args.qfc:
+        arrays = load_kkt_arrays(args.dmx, args.qfc)
+    elif args.arcs:
+        from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+
+        inst = generate_mcf_instance(args.arcs, rho=args.rho, instance_id=args.instance_id)
+        arrays = KKTArrays(inst.quad_costs, inst.arc_u, inst.arc_v,
+                           inst.num_nodes, inst.num_arcs)
+    else:
+        raise SystemExit("provide --dmx/--qfc or --arcs")
+    import jax
+
+    dtype = None
+    if jax.default_backend() == "cpu":
+        import jax.numpy as jnp
+
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u, arrays.arc_v,
+                               arrays.num_nodes, dtype=dtype, backend=args.backend)
+    return op, arrays.n
+
+
+def _run_variant(args, variant, emit):
+    from two_pass_lanczos_tpu.experiments.common import (
+        known_solution_problem, log, peak_memory_kb, timed_solve,
+    )
+
+    import two_pass_lanczos_tpu as tpl
+
+    op, n = _load_operator(args)
+    _, b = known_solution_problem(op, n)
+    method = "one_pass" if variant == "standard" else "two_pass"
+    # compile once per k outside timing
+    for k in range(args.k_start, args.k_end + 1, args.k_step):
+        # warm (compile) with a forced readback, then time
+        timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        rss = peak_memory_kb()
+        log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
+        emit(variant, k, dt, rss)
+
+
+def main(argv=None) -> int:
+    from two_pass_lanczos_tpu.experiments.common import (
+        VARIANTS, emit_row, force_cpu_f64, run_orchestrated, setup_logging,
+        worker_variant, write_csv,
+    )
+
+    args = build_parser().parse_args(argv)
+    setup_logging()
+    if args.cpu_f64:
+        force_cpu_f64()
+
+    header = ["variant", "k", "time_s", "rss_kb"]
+    wv = worker_variant()
+    if wv is not None:  # worker process: stream headerless rows on stdout
+        _run_variant(args, wv, emit_row)
+        return 0
+
+    rows = []
+    if args.isolate:
+        rows = run_orchestrated(
+            [MODULE, *(argv or _reconstruct_argv(args))],
+            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3])),
+        )
+    else:
+        for variant in VARIANTS:
+            _run_variant(args, variant, lambda *f: rows.append(f))
+    write_csv(args.output, header, rows)
+    return 0
+
+
+def _reconstruct_argv(args):
+    out = ["--output", args.output, "--k-start", str(args.k_start),
+           "--k-end", str(args.k_end), "--k-step", str(args.k_step),
+           "--backend", args.backend]
+    if args.dmx:
+        out += ["--dmx", args.dmx, "--qfc", args.qfc]
+    if args.arcs:
+        out += ["--arcs", str(args.arcs), "--rho", str(args.rho),
+                "--instance-id", str(args.instance_id)]
+    if args.cpu_f64:
+        out += ["--cpu-f64"]
+    return out
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
