@@ -1,0 +1,113 @@
+"""Native (C++) component tests: DIMACS parser and instance generator.
+
+Builds ``cpp/`` once per session if a toolchain is available; skips otherwise
+(the Python paths are always-available fallbacks, so nothing else depends on
+the build).
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+CPP = REPO / "cpp"
+
+
+@pytest.fixture(scope="session")
+def native_build():
+    if shutil.which("g++") is None and shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    proc = subprocess.run(["make", "-C", str(CPP)], capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip(f"native build failed: {proc.stderr[-500:]}")
+    return CPP
+
+
+def test_native_parser_matches_python(native_build, tmp_path):
+    import two_pass_lanczos_tpu.utils.data_loader as dl
+
+    # reset the lazy-loaded lib so this test controls the load
+    dl._NATIVE = None
+    dmx = tmp_path / "t.dmx"
+    dmx.write_text(
+        "c header\np min 4 5\nn 1 10\nn 4 -10\n"
+        "a 1 2 0 5 3\na 2 3 0 5 3\na 3 4 0 5 3\na 1 3 0 5 3\na 2 4 0 5 3\n"
+    )
+    assert dl._native_lib() is not None
+    nodes, arcs, u, v = dl.parse_dmx(dmx)
+    pn, pa, pu, pv = dl._parse_dmx_py(dmx)
+    assert (nodes, arcs) == (pn, pa) == (4, 5)
+    np.testing.assert_array_equal(u, pu)
+    np.testing.assert_array_equal(v, pv)
+
+
+def test_native_parser_error_codes(native_build, tmp_path):
+    import two_pass_lanczos_tpu.utils.data_loader as dl
+
+    dl._NATIVE = None
+    cases = {
+        "noproblem.dmx": "a 1 2 0 5 3\n",
+        "zeroidx.dmx": "p min 2 1\na 0 1 0 5 3\n",
+        "range.dmx": "p min 2 1\na 1 9 0 5 3\n",
+    }
+    for name, content in cases.items():
+        f = tmp_path / name
+        f.write_text(content)
+        with pytest.raises(dl.DataLoaderError):
+            dl.parse_dmx(f)
+
+
+def test_mcfgen_output_loads_and_satisfies_structure(native_build, tmp_path):
+    from two_pass_lanczos_tpu.models.generator import nodes_for
+    from two_pass_lanczos_tpu.utils.data_loader import load_kkt_arrays
+
+    proc = subprocess.run(
+        [str(CPP / "mcfgen"), "800", "3", "2", "a", "b", "ns", str(tmp_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    base = "netgen-800-3-2-a-b-ns"
+    arrays = load_kkt_arrays(tmp_path / f"{base}.dmx", tmp_path / f"{base}.qfc")
+    assert arrays.num_arcs == 800
+    assert arrays.num_nodes == nodes_for(800, 3)  # pargen node formula
+    assert (arrays.quad_costs > 0).all()
+    assert arrays.arc_u.max() < arrays.num_nodes
+    # connectivity via the skeleton chain
+    n = arrays.num_nodes
+    adj = [[] for _ in range(n)]
+    for a, b in zip(arrays.arc_u, arrays.arc_v):
+        adj[a].append(b)
+        adj[b].append(a)
+    seen, stack = {0}, [0]
+    while stack:
+        for nb in adj[stack.pop()]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    assert len(seen) == n
+    # deterministic in the id (mcfgen creates the output dir itself)
+    subprocess.run(
+        [str(CPP / "mcfgen"), "800", "3", "2", "a", "b", "ns", str(tmp_path / "again")],
+        check=True, capture_output=True,
+    )
+    a2 = load_kkt_arrays(tmp_path / "again" / f"{base}.dmx", tmp_path / "again" / f"{base}.qfc")
+    np.testing.assert_array_equal(arrays.arc_u, a2.arc_u)
+    np.testing.assert_allclose(arrays.quad_costs, a2.quad_costs)
+
+
+def test_mcfgen_instance_passes_property_harness(native_build, tmp_path):
+    from two_pass_lanczos_tpu.models.kkt import kkt_operator_from_files
+    from two_pass_lanczos_tpu.testing import run_all_properties, seeded_b
+
+    subprocess.run(
+        [str(CPP / "mcfgen"), "1000", "2", "1", "b", "a", "s", str(tmp_path)],
+        check=True, capture_output=True,
+    )
+    base = "netgen-1000-2-1-b-a-s"
+    sys_ = kkt_operator_from_files(tmp_path / f"{base}.dmx", tmp_path / f"{base}.qfc")
+    for rep in run_all_properties(sys_.operator, seeded_b(sys_.n)):
+        assert rep.passed, f"{rep.name} = {rep.value:.3e}"
