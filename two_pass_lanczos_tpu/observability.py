@@ -1,0 +1,156 @@
+"""Observability: iteration callbacks, profiling, speed-of-light accounting.
+
+Reference parity and TPU adaptation:
+
+* **Per-iteration callback** — the reference invokes a ``LanczosCallback``
+  with ``(k, V_k view, T_k view)`` inside the hot loop with early-stop
+  (``src/algorithms/mod.rs:69-86``, ``lanczos.rs:93-106``). A Python callback
+  inside a compiled ``lax.scan`` would force a host sync per step, so the
+  equivalent here is **post-hoc replay**: :func:`replay_iterations` feeds the
+  callback the same ``(k, V_k, T_k)`` views reconstructed from the scan
+  outputs at zero extra device compute, and :func:`find_stopping_point`
+  returns the step where the callback would have stopped (usable to truncate
+  the decomposition before the projected solve and pass two — which is
+  exactly the effect early stopping has in the reference).
+* **Profiling** — ``jax.profiler`` trace contexts replacing the reference's
+  ``Instant``-based timing (``tradeoff.rs:267-287``).
+* **Speed-of-light model** — the per-matvec byte/flop accounting demanded by
+  BASELINE.json's metric: achieved nnz/s against the HBM-bandwidth bound.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition
+from two_pass_lanczos_tpu.ops.tridiag import assemble_tridiagonal
+
+__all__ = [
+    "replay_iterations",
+    "find_stopping_point",
+    "truncate_decomposition",
+    "trace",
+    "SoLReport",
+    "kkt_spmv_sol",
+]
+
+
+def replay_iterations(
+    decomposition: LanczosDecomposition,
+    callback: Callable,
+    basis: Optional[np.ndarray] = None,
+) -> int:
+    """Invoke ``callback(k, v_k, (alphas, betas))`` for k = 1..steps_taken.
+
+    ``v_k`` is the (k, n) basis prefix if ``basis`` was captured (one-pass),
+    else None. Returns the number of iterations visited: the callback returns
+    False to stop early, mirroring the reference's contract.
+    """
+    steps = decomposition.steps()
+    alphas = decomposition.alphas_valid()
+    betas = decomposition.betas_valid()
+    b_np = np.asarray(basis) if basis is not None else None
+    visited = 0
+    for k in range(1, steps + 1):
+        visited = k
+        v_view = b_np[:k] if b_np is not None else None
+        if not callback(k, v_view, (alphas[:k], betas[: max(k - 1, 0)])):
+            break
+    return visited
+
+
+def find_stopping_point(decomposition: LanczosDecomposition, callback: Callable) -> int:
+    """Steps after which the callback would have stopped the iteration."""
+    return replay_iterations(decomposition, callback)
+
+
+def truncate_decomposition(
+    decomposition: LanczosDecomposition, steps: int
+) -> LanczosDecomposition:
+    """Truncate to ``steps`` iterations (early-stop semantics): padding
+    zeroed, ``steps_taken`` clamped. Shapes stay static."""
+    import jax.numpy as jnp
+
+    k = decomposition.k_max
+    steps = int(min(steps, decomposition.steps()))
+    i = jnp.arange(k)
+    return LanczosDecomposition(
+        alphas=jnp.where(i < steps, decomposition.alphas, 0),
+        betas=jnp.where(i < steps - 1, decomposition.betas, 0),
+        steps_taken=jnp.asarray(steps, jnp.int32),
+        b_norm=decomposition.b_norm,
+    )
+
+
+@contextlib.contextmanager
+def trace(name: str, enabled: bool = True):
+    """``jax.profiler.TraceAnnotation`` context (no-op when disabled)."""
+    if not enabled:
+        yield
+        return
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+# ---------------------------------------------------------------------------
+# Speed-of-light accounting
+# ---------------------------------------------------------------------------
+
+#: HBM bandwidth per chip, bytes/s (TPU v5e spec: 819 GB/s).
+HBM_BW = {"tpu": 819e9, "cpu": 100e9}
+
+
+@dataclasses.dataclass
+class SoLReport:
+    nnz: int
+    bytes_per_matvec: int
+    sol_seconds: float
+    achieved_seconds: float
+
+    @property
+    def sol_fraction(self) -> float:
+        return self.sol_seconds / self.achieved_seconds
+
+    @property
+    def achieved_nnz_per_s(self) -> float:
+        return self.nnz / self.achieved_seconds
+
+    def __str__(self):
+        return (
+            f"SpMV: {self.nnz} nnz, {self.bytes_per_matvec / 1e6:.1f} MB/matvec, "
+            f"SoL {self.sol_seconds * 1e6:.1f} us, achieved "
+            f"{self.achieved_seconds * 1e6:.1f} us "
+            f"({self.sol_fraction:.1%} of speed of light, "
+            f"{self.achieved_nnz_per_s / 1e9:.2f} Gnnz/s)"
+        )
+
+
+def kkt_spmv_sol(
+    num_arcs: int,
+    num_nodes: int,
+    achieved_seconds: float,
+    dtype_bytes: int = 4,
+    backend: str = "tpu",
+) -> SoLReport:
+    """Speed-of-light bound for the structure-aware KKT matvec.
+
+    Minimum HBM traffic per matvec: the five per-arc streams
+    (d, u, v, x_a read + y_a write = 4B·3 + value bytes·2) plus the node
+    vector in/out (negligible). Index arrays are int32.
+    """
+    per_arc = 2 * 4 + 3 * dtype_bytes  # u, v int32 + d, x_a, y_a values
+    bytes_total = num_arcs * per_arc + 2 * num_nodes * dtype_bytes
+    bw = HBM_BW.get(backend, 819e9)
+    nnz = 5 * num_arcs
+    return SoLReport(
+        nnz=nnz,
+        bytes_per_matvec=bytes_total,
+        sol_seconds=bytes_total / bw,
+        achieved_seconds=achieved_seconds,
+    )
