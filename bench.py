@@ -4,6 +4,10 @@ Reference baseline: 5.28 s on one Xeon core (``BASELINE.md`` — scalability
 k=500, n=501,155, two-pass). Prints one JSON line; ``vs_baseline`` is the
 speedup factor (>1 = faster than the reference).
 
+TPU path: the fused VMEM-resident Pallas solver (``ops/kkt_fused.py``) — the
+whole pass runs as one on-chip program in the dual-sorted arc layout. CPU
+path: the XLA f64 reference pipeline.
+
 Measurement notes: this environment tunnels the TPU, so async dispatch makes
 ``block_until_ready`` unreliable — every sample forces a full host readback
 of a scalar reduction of the result, and the compile call is excluded.
@@ -31,12 +35,22 @@ def main() -> int:
     m, p = inst.num_arcs, inst.num_nodes
     n = m + p
 
+    rng = np.random.default_rng(0)
+
     if backend == "tpu":
-        dtype = np.float32
-        op = tpl.make_kkt_operator(
-            inst.quad_costs.astype(dtype), inst.arc_u, inst.arc_v, p,
-            backend="pallas",
+        from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+        solver = FusedKKTSolver(
+            inst.quad_costs.astype(np.float32), inst.arc_u, inst.arc_v, p
         )
+        b = rng.standard_normal(n).astype(np.float32)
+
+        def run(bb):
+            (xu, _), _ = solver.solve(bb, k=k, f="inv", raw=True)
+            return float(jnp.sum(xu * xu))  # forced device->host readback
+
+        def sample_input(i):
+            return b * (1.0 + 1e-6 * (i + 1))
     else:
         dtype = np.float64
         jax.config.update("jax_enable_x64", True)
@@ -44,18 +58,19 @@ def main() -> int:
             inst.quad_costs.astype(dtype), inst.arc_u, inst.arc_v, p,
             backend="xla",
         )
+        b = jnp.asarray(rng.standard_normal(n).astype(dtype))
 
-    rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.standard_normal(n).astype(dtype))
+        def run(bb):
+            x = tpl.solve_fAb(op, bb, k=k, f="inv", method="two_pass")
+            return float(jnp.sum(x * x))
 
-    def run(bb):
-        x = tpl.solve_fAb(op, bb, k=k, f="inv", method="two_pass")
-        return float(jnp.sum(x * x))  # forced device->host readback
+        def sample_input(i):
+            return b * (1.0 + 1e-6 * (i + 1))
 
-    run(b)  # compile
+    run(sample_input(-1))  # compile
     samples = []
-    for i in range(3):
-        bb = b * (1.0 + 1e-6 * (i + 1))  # distinct inputs defeat result caching
+    for i in range(4):
+        bb = sample_input(i)  # distinct inputs defeat result caching
         t0 = time.perf_counter()
         run(bb)
         samples.append(time.perf_counter() - t0)

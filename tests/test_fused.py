@@ -1,0 +1,134 @@
+"""Fused VMEM-resident Lanczos kernels (``ops/kkt_fused.py``), interpret mode.
+
+The fused path is the production TPU hot path; these tests run its kernels in
+the Pallas interpreter on CPU and hold them to the same oracles as the
+scan-based implementation: the XLA structure-aware matvec, the generic
+``solve_fAb`` pipeline, and the pass-one decomposition (reference semantics
+``src/algorithms/lanczos_two_pass.rs``, ``src/solvers.rs:133-175``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.core import pass_one_scan
+from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver, SortedKKTLayout
+
+
+def _random_kkt(rng, m=700, p=300):
+    u = rng.integers(0, p, m).astype(np.int32)
+    v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+    d = rng.uniform(1.0, 3.0, m).astype(np.float32)
+    return d, u, v, p
+
+
+def _xla_op(d, u, v, p):
+    return tpl.make_kkt_operator(d, u, v, p, backend="xla", dtype=jnp.float32)
+
+
+class TestLayout:
+    def test_pack_unpack_roundtrip(self, rng):
+        d, u, v, p = _random_kkt(rng)
+        lay = SortedKKTLayout.build(d, u, v, p)
+        x = rng.standard_normal(len(d) + p).astype(np.float32)
+        xu, xv, xn = lay.pack(x)
+        np.testing.assert_array_equal(lay.unpack(xu, xn), x)
+        # the v-copy holds the same arc values in its own ordering
+        np.testing.assert_array_equal(xv.reshape(-1)[lay.v.pos], x[: len(d)])
+
+    def test_every_node_has_a_group(self, rng):
+        # includes nodes of degree zero in one of the orderings
+        m, p = 50, 40
+        u = rng.integers(0, 10, m).astype(np.int32)  # only nodes 0..9 as tails
+        v = (u + 1 + rng.integers(0, p - 1, m)).astype(np.int32) % p
+        d = rng.uniform(1.0, 2.0, m).astype(np.float32)
+        lay = SortedKKTLayout.build(d, u, v, p)
+        assert lay.u.R >= p // 128  # window invariants asserted in build
+
+
+class TestFusedMatvec:
+    def test_matches_xla_matvec(self, rng):
+        d, u, v, p = _random_kkt(rng)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x = rng.standard_normal(len(d) + p).astype(np.float32)
+        y = s.matvec(x)
+        y_ref = np.asarray(_xla_op(d, u, v, p).matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=0, atol=2e-5 * np.abs(y_ref).max())
+
+    def test_skewed_degrees(self, rng):
+        # one hub node with most arcs: multi-group nodes + many 1-group nodes
+        m, p = 900, 150
+        u = np.where(rng.random(m) < 0.6, 0, rng.integers(0, p, m)).astype(np.int32)
+        v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+        d = rng.uniform(0.5, 4.0, m).astype(np.float32)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x = rng.standard_normal(m + p).astype(np.float32)
+        y = s.matvec(x)
+        y_ref = np.asarray(_xla_op(d, u, v, p).matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=0, atol=2e-5 * np.abs(y_ref).max())
+
+
+class TestFusedSolve:
+    @pytest.fixture
+    def problem(self, rng):
+        d, u, v, p = _random_kkt(rng)
+        n = len(d) + p
+        b = rng.standard_normal(n).astype(np.float32)
+        return d, u, v, p, b
+
+    def test_pass_one_matches_scan(self, problem):
+        d, u, v, p, b = problem
+        k = 20
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        dec = s.pass_one(s.pack(b), k)
+        op = _xla_op(d, u, v, p)
+        dec_ref, _ = pass_one_scan(op.matvec, jnp.asarray(b), k, emit_basis=False)
+        assert int(dec.steps_taken) == int(dec_ref.steps_taken) == k
+        np.testing.assert_allclose(
+            np.asarray(dec.alphas), np.asarray(dec_ref.alphas), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(dec.betas), np.asarray(dec_ref.betas), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(dec.b_norm), float(dec_ref.b_norm), rtol=1e-6)
+
+    @pytest.mark.parametrize("f", ["inv", "exp"])
+    def test_two_pass_solve_matches_generic(self, problem, f):
+        d, u, v, p, b = problem
+        k = 25
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x, dec = s.solve(b, k=k, f=f)
+        op = _xla_op(d, u, v, p)
+        x_ref = np.asarray(
+            tpl.solve_fAb(op, jnp.asarray(b), k=k, f=f, method="two_pass"))
+        rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-4, rel
+        assert int(dec.steps_taken) == k
+
+    def test_breakdown_truncates(self, rng):
+        # diagonal-only KKT cannot break down easily; force it with b in a
+        # 1-D invariant subspace of a *diagonal* top block: use m arcs all
+        # with the same endpoints so the Krylov space is tiny.
+        m, p = 130, 130
+        u = np.zeros(m, np.int32)
+        v = np.ones(m, np.int32)
+        d = np.full(m, 2.0, np.float32)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        b = np.zeros(m + p, np.float32)
+        b[0] = 1.0
+        x, dec = s.solve(b, k=12, f="inv")
+        assert int(dec.steps_taken) < 12
+        # graceful truncation: result finite and matches the generic path
+        op = _xla_op(d, u, v, p)
+        x_ref = np.asarray(
+            tpl.solve_fAb(op, jnp.asarray(b), k=12, f="inv", method="two_pass"))
+        assert np.all(np.isfinite(x))
+        np.testing.assert_allclose(x, x_ref, atol=1e-5)
+
+    def test_zero_b_gives_zero(self, rng):
+        d, u, v, p = _random_kkt(rng, m=300, p=64)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x, dec = s.solve(np.zeros(len(d) + p, np.float32), k=8, f="inv")
+        assert int(dec.steps_taken) == 0
+        np.testing.assert_array_equal(x, 0.0)

@@ -1,5 +1,6 @@
-"""Compute kernels: SpMV (XLA and Pallas), tridiagonal utilities."""
+"""Compute kernels: SpMV (XLA and Pallas), fused Lanczos, tridiagonal utils."""
 
+from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver, SortedKKTLayout
 from two_pass_lanczos_tpu.ops.spmv import (
     coo_spmv,
     csr_from_triplets,
@@ -13,6 +14,8 @@ from two_pass_lanczos_tpu.ops.tridiag import (
 )
 
 __all__ = [
+    "FusedKKTSolver",
+    "SortedKKTLayout",
     "coo_spmv",
     "csr_from_triplets",
     "kkt_matvec",
