@@ -46,8 +46,8 @@ def main() -> int:
         b = rng.standard_normal(n).astype(np.float32)
 
         def run(bb):
-            (xu, _), _ = solver.solve(bb, k=k, f="inv", raw=True)
-            return float(jnp.sum(xu * xu))  # forced device->host readback
+            x_rep, _ = solver.solve(bb, k=k, f="inv", raw=True)
+            return float(jnp.sum(x_rep * x_rep))  # forced device->host readback
 
         def sample_input(i):
             return b * (1.0 + 1e-6 * (i + 1))

@@ -297,14 +297,17 @@ def _tree_sum(x):
     passes over the data.
     """
     rows = x.shape[0]
+    extra = None  # odd leftover rows, accumulated separately (slice-only ops)
     while rows > 8:
         if rows % 2:
-            x = x.at[0:1, :].set(x[0:1, :] + x[rows - 1:rows, :])
+            last = x[rows - 1:rows, :]
+            extra = last if extra is None else extra + last
             rows -= 1
         h = rows // 2
         x = x[:h] + x[h:rows]
         rows = h
-    return jnp.sum(x)
+    total = jnp.sum(x)
+    return total if extra is None else total + jnp.sum(extra)
 
 
 def _dot_rep(au, an, bu, bn):
@@ -504,6 +507,22 @@ class FusedKKTSolver:
             b = np.asarray(jax.device_get(b))
         return tuple(jnp.asarray(a) for a in self.layout.pack(b))
 
+    def pack_flat(self, b) -> jax.Array:
+        """Rep layout as ONE stacked (2R+P2, 128) device array.
+
+        A single host→device transfer: on tunneled targets every transfer
+        pays a full round trip (~30 ms measured), so shipping the three rep
+        components separately triples the fixed cost.
+        """
+        if isinstance(b, jax.Array):
+            b = np.asarray(jax.device_get(b))
+        bu, bv, bn = self.layout.pack(b)
+        return jnp.asarray(np.concatenate([bu, bv, bn], axis=0))
+
+    def _split_flat(self, b_flat):
+        r = self.layout.u.R
+        return b_flat[:r], b_flat[r:2 * r], b_flat[2 * r:]
+
     def matvec_rep(self, xu, xv, xn):
         """A·x in the rep layout (testing hook)."""
         lay = self.layout
@@ -580,23 +599,28 @@ class FusedKKTSolver:
           decomp.b_norm.reshape(1), decomp.steps_taken.reshape(1))
         return xu, xn
 
-    def _solve_rep(self, b_rep, k: int, f):
+    def _solve_rep(self, b_flat, k: int, f):
+        b_rep = self._split_flat(b_flat)
         decomp = self.pass_one(b_rep, k)
         y = padded_f_e1(decomp, f)
         idx = jnp.arange(k)
         y_full = jnp.where(idx < decomp.steps_taken,
                            y.astype(jnp.float32) * decomp.b_norm, 0.0)
         xu, xn = self.pass_two(b_rep, decomp, y_full)
-        return xu, xn, decomp
+        # one stacked output array => one device→host transfer on fetch
+        return jnp.concatenate([xu, xn], axis=0), decomp
 
     def solve(self, b, k: int, f="inv", raw: bool = False):
         """Two-pass f(A)·b. Returns ``(x, decomposition)``; ``x`` is an (n,)
-        NumPy array in the original ordering, or the raw ``(xu, xn)`` device
-        pair when ``raw=True`` (cheaper: skips the unpermute)."""
-        b_rep = self.pack(b)
+        NumPy array in the original ordering, or the raw stacked
+        ``(R+P2, 128)`` rep-layout device array when ``raw=True`` (cheaper:
+        skips the unpermute and the host round-trip)."""
+        b_flat = self.pack_flat(b)
         if not hasattr(self, "_solve_jit"):
             self._solve_jit = jax.jit(self._solve_rep, static_argnums=(1, 2))
-        xu, xn, decomp = self._solve_jit(b_rep, k, f)
+        x_flat, decomp = self._solve_jit(b_flat, k, f)
         if raw:
-            return (xu, xn), decomp
-        return self.layout.unpack(np.asarray(xu), np.asarray(xn)), decomp
+            return x_flat, decomp
+        x_np = np.asarray(x_flat)
+        r = self.layout.u.R
+        return self.layout.unpack(x_np[:r], x_np[r:]), decomp
