@@ -106,6 +106,22 @@ class TestFusedSolve:
         assert rel < 1e-4, rel
         assert int(dec.steps_taken) == k
 
+    @pytest.mark.parametrize("f", ["inv", "exp"])
+    def test_one_pass_solve(self, problem, f):
+        d, u, v, p, b = problem
+        k = 25
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x1, dec = s.solve(b, k=k, f=f, method="one_pass")
+        op = _xla_op(d, u, v, p)
+        x_ref = np.asarray(
+            tpl.solve_fAb(op, jnp.asarray(b), k=k, f=f, method="one_pass"))
+        rel = np.linalg.norm(x1 - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-4, rel
+        # one-pass and two-pass share pass-one arithmetic: tight agreement
+        x2, _ = s.solve(b, k=k, f=f, method="two_pass")
+        rel12 = np.linalg.norm(x1 - x2) / np.linalg.norm(x2)
+        assert rel12 < 1e-5, rel12
+
     def test_breakdown_truncates(self, rng):
         # diagonal-only KKT cannot break down easily; force it with b in a
         # 1-D invariant subspace of a *diagonal* top block: use m arcs all

@@ -20,7 +20,8 @@ def build_parser():
     p.add_argument("--k", type=int, default=500)
     p.add_argument("--rho", type=int, default=3)
     p.add_argument("--output", required=True)
-    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas", "fused"],
+                   default="auto")
     p.add_argument("--cpu-f64", action="store_true")
     p.add_argument("--max-retries", type=int, default=5)
     return p
@@ -74,20 +75,39 @@ def main(argv=None) -> int:
     with open(args.output, "w", newline="") as fh:
         writer = csv.writer(fh)
         writer.writerow(["variant", "n", "k", "time_s", "rss_kb"])
+        backend = args.backend
+        if backend == "auto":
+            backend = "fused" if jax.default_backend() == "tpu" else "xla"
         for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
             inst = _generate_validated(arcs, args.rho, args.max_retries)
             n = inst.num_arcs + inst.num_nodes
-            op = tpl.make_kkt_operator(
-                inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
-                dtype=dtype, backend=args.backend,
-            )
-            _, b = known_solution_problem(op, n)
+            if backend == "fused":
+                from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+                solver = FusedKKTSolver(
+                    np.asarray(inst.quad_costs, np.float32),
+                    inst.arc_u, inst.arc_v, inst.num_nodes)
+                x_true = np.full(n, 1.0 / np.sqrt(n), np.float32)
+                b_fused = solver.matvec(x_true)
+            else:
+                op = tpl.make_kkt_operator(
+                    inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
+                    dtype=dtype, backend=backend,
+                )
+                _, b = known_solution_problem(op, n)
             for variant in VARIANTS:
                 method = "one_pass" if variant == "standard" else "two_pass"
-                timed_solve(tpl.solve_fAb, op, b, k=args.k, f="inv", method=method)
-                _, dt = timed_solve(
-                    tpl.solve_fAb, op, b, k=args.k, f="inv", method=method
-                )
+                if backend == "fused":
+                    def solve():
+                        x, _ = solver.solve(b_fused, k=args.k, f="inv",
+                                            method=method, raw=True)
+                        return x
+                else:
+                    def solve():
+                        return tpl.solve_fAb(op, b, k=args.k, f="inv",
+                                             method=method)
+                timed_solve(solve)
+                _, dt = timed_solve(solve)
                 rss = peak_memory_kb()
                 log.info("%s n=%d k=%d time=%.4fs mem=%dKB",
                          variant, n, args.k, dt, rss)

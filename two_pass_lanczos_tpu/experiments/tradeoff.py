@@ -30,52 +30,88 @@ def build_parser():
     p.add_argument("--output", required=True)
     p.add_argument("--isolate", action="store_true",
                    help="orchestrator/worker process isolation (VmPeak fidelity)")
-    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas", "fused"],
+                   default="auto")
     p.add_argument("--cpu-f64", action="store_true")
     return p
 
 
-def _load_operator(args):
-    import two_pass_lanczos_tpu as tpl
+def _load_arrays(args):
     from two_pass_lanczos_tpu.utils.data_loader import KKTArrays, load_kkt_arrays
 
     if args.dmx and args.qfc:
-        arrays = load_kkt_arrays(args.dmx, args.qfc)
-    elif args.arcs:
+        return load_kkt_arrays(args.dmx, args.qfc)
+    if args.arcs:
         from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
 
         inst = generate_mcf_instance(args.arcs, rho=args.rho, instance_id=args.instance_id)
-        arrays = KKTArrays(inst.quad_costs, inst.arc_u, inst.arc_v,
-                           inst.num_nodes, inst.num_arcs)
-    else:
-        raise SystemExit("provide --dmx/--qfc or --arcs")
+        return KKTArrays(inst.quad_costs, inst.arc_u, inst.arc_v,
+                         inst.num_nodes, inst.num_arcs)
+    raise SystemExit("provide --dmx/--qfc or --arcs")
+
+
+def _resolve_backend(args):
     import jax
 
+    if args.backend != "auto":
+        return args.backend
+    # the fused VMEM-resident solver is the production TPU path
+    return "fused" if jax.default_backend() == "tpu" else "xla"
+
+
+def _load_operator(args):
+    import jax
+
+    import two_pass_lanczos_tpu as tpl
+
+    arrays = _load_arrays(args)
     dtype = None
     if jax.default_backend() == "cpu":
         import jax.numpy as jnp
 
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u, arrays.arc_v,
-                               arrays.num_nodes, dtype=dtype, backend=args.backend)
+                               arrays.num_nodes, dtype=dtype,
+                               backend=_resolve_backend(args))
     return op, arrays.n
 
 
 def _run_variant(args, variant, emit):
+    import numpy as np
+
     from two_pass_lanczos_tpu.experiments.common import (
         known_solution_problem, log, peak_memory_kb, timed_solve,
     )
 
     import two_pass_lanczos_tpu as tpl
 
-    op, n = _load_operator(args)
-    _, b = known_solution_problem(op, n)
+    backend = _resolve_backend(args)
     method = "one_pass" if variant == "standard" else "two_pass"
-    # compile once per k outside timing
+
+    if backend == "fused":
+        from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+        arrays = _load_arrays(args)
+        solver = FusedKKTSolver(
+            np.asarray(arrays.quad_costs, np.float32),
+            arrays.arc_u, arrays.arc_v, arrays.num_nodes)
+        x_true = np.full(arrays.n, 1.0 / np.sqrt(arrays.n), np.float32)
+        b = solver.matvec(x_true)
+
+        def solve(k):
+            x, _ = solver.solve(b, k=k, f="inv", method=method, raw=True)
+            return x
+    else:
+        op, n = _load_operator(args)
+        _, b_dev = known_solution_problem(op, n)
+
+        def solve(k):
+            return tpl.solve_fAb(op, b_dev, k=k, f="inv", method=method)
+
     for k in range(args.k_start, args.k_end + 1, args.k_step):
         # warm (compile) with a forced readback, then time
-        timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
-        _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        timed_solve(solve, k)
+        _, dt = timed_solve(solve, k)
         rss = peak_memory_kb()
         log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
         emit(variant, k, dt, rss)

@@ -381,6 +381,94 @@ def _pass_one_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Pass one with basis capture: the O(nk) one-pass variant
+# ---------------------------------------------------------------------------
+
+def _pass_one_basis_kernel(
+    du, esu, eou, gnu, dv, esv, eov, gnv, bu, bv, bn, winu, winv,
+    # outputs
+    alphas, betas, bnorm, steps_out, basis_u, basis_n,
+    # scratch
+    su, sv, sn, sem_u, sem_n,
+    *, k, p_hi, c_chunks, tol,
+):
+    """Pass one + per-step DMA of v_{j+1} (u copy + node block) to HBM.
+
+    The basis write overlaps the step's matvec: the DMA starts before the
+    recurrence and is awaited only just before the buffers rotate. This is
+    the O(n·k) memory variant (reference ``src/algorithms/lanczos.rs:55-156``,
+    basis store at ``:117-123``); rows past ``steps_taken`` repeat the frozen
+    v_curr, which downstream reconstruction masks with zero coefficients.
+
+    The nine work buffers are packed into three stacked scratches (slot 0 =
+    v_prev, 1 = v_curr, 2 = w): with nine separate scratches plus two DMA
+    semaphores the TPU runtime aborts at launch (resource-count limit,
+    empirically bisected — the same shape works with stacked scratches).
+    """
+    vpu, vcu, wu = su.at[0], su.at[1], su.at[2]
+    vpv, vcv, wv = sv.at[0], sv.at[1], sv.at[2]
+    vpn, vcn, wn = sn.at[0], sn.at[1], sn.at[2]
+    nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
+    b_norm = jnp.sqrt(nb2)
+    bnorm[0] = b_norm
+    zero_b = b_norm <= tol
+    inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
+    vcu[:] = bu[:] * inv_n
+    vcv[:] = bv[:] * inv_n
+    vcn[:] = bn[:] * inv_n
+    vpu[:] = jnp.zeros(vpu.shape, jnp.float32)
+    vpv[:] = jnp.zeros(vpv.shape, jnp.float32)
+    vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
+
+    orders = (
+        (vcu, wu, du, esu, eou, gnu, winu, 1.0),
+        (vcv, wv, dv, esv, eov, gnv, winv, -1.0),
+    )
+
+    def step(j, carry):
+        beta_prev, done = carry
+        executed = jnp.logical_not(done)
+        # basis row j = v_{j+1} (current vector at step start); DMA overlaps
+        # the matvec below.
+        dma_u = pltpu.make_async_copy(vcu, basis_u.at[j], sem_u)
+        dma_n = pltpu.make_async_copy(vcn, basis_n.at[j], sem_n)
+        dma_u.start()
+        dma_n.start()
+        _emit_matvec(orders, vcn, wn, p_hi=p_hi, c_chunks=c_chunks)
+        wu[:] = wu[:] - beta_prev * vpu[:]
+        wv[:] = wv[:] - beta_prev * vpv[:]
+        wn[:] = wn[:] - beta_prev * vpn[:]
+        alpha = _dot_rep(vcu[:], vcn[:], wu[:], wn[:])
+        wu[:] = wu[:] - alpha * vcu[:]
+        wv[:] = wv[:] - alpha * vcv[:]
+        wn[:] = wn[:] - alpha * vcn[:]
+        beta = jnp.sqrt(_dot_rep(wu[:], wn[:], wu[:], wn[:]))
+        breakdown = beta <= tol
+        advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
+        alphas[j] = jnp.where(executed, alpha, 0.0)
+        betas[j] = jnp.where(advance, beta, 0.0)
+        inv_b = jnp.where(advance, 1.0 / beta, 0.0)
+        dma_u.wait()
+        dma_n.wait()
+
+        @pl.when(advance)
+        def _advance():
+            vpu[:] = vcu[:]
+            vpv[:] = vcv[:]
+            vpn[:] = vcn[:]
+            vcu[:] = wu[:] * inv_b
+            vcv[:] = wv[:] * inv_b
+            vcn[:] = wn[:] * inv_b
+
+        steps_out[0] = steps_out[0] + executed.astype(jnp.int32)
+        return (jnp.where(advance, beta, beta_prev),
+                jnp.logical_or(done, breakdown))
+
+    steps_out[0] = 0
+    jax.lax.fori_loop(0, k, step, (jnp.float32(0.0), zero_b))
+
+
+# ---------------------------------------------------------------------------
 # Pass two: reconstruction + accumulation, replaying stored alpha/beta
 # ---------------------------------------------------------------------------
 
@@ -573,6 +661,41 @@ class FusedKKTSolver:
         return LanczosDecomposition(
             alphas=alphas, betas=betas, steps_taken=steps[0], b_norm=bnorm[0])
 
+    def pass_one_with_basis(self, b_rep, k: int):
+        """O(n·k) pass one: also returns the basis ``(basis_u (k,R,128),
+        basis_n (k,P2,128))`` stored in HBM (reference one-pass variant)."""
+        lay = self.layout
+        vm, sm = self._common_specs()
+        hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+        kern = functools.partial(
+            _pass_one_basis_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
+            tol=self.tol)
+        alphas, betas, bnorm, steps, basis_u, basis_n = pl.pallas_call(
+            kern,
+            in_specs=[vm] * 11 + [sm, sm],
+            out_specs=[sm, sm, sm, sm, hbm, hbm],
+            out_shape=[
+                jax.ShapeDtypeStruct((k,), jnp.float32),
+                jax.ShapeDtypeStruct((k,), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((k, lay.u.R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((k, lay.P2, LANE), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((3, lay.u.R, LANE), jnp.float32),
+                pltpu.VMEM((3, lay.u.R, LANE), jnp.float32),
+                pltpu.VMEM((3, lay.P2, LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=self.interpret,
+        )(*self._arrs, *b_rep, *self._wins)
+        decomp = LanczosDecomposition(
+            alphas=alphas, betas=betas, steps_taken=steps[0], b_norm=bnorm[0])
+        return decomp, basis_u, basis_n
+
     def pass_two(self, b_rep, decomp: LanczosDecomposition, y_full):
         """Reconstruction pass. ``y_full`` is the length-k coefficient vector
         already masked beyond ``steps_taken`` and scaled by ‖b‖."""
@@ -599,26 +722,38 @@ class FusedKKTSolver:
           decomp.b_norm.reshape(1), decomp.steps_taken.reshape(1))
         return xu, xn
 
-    def _solve_rep(self, b_flat, k: int, f):
+    def _solve_rep(self, b_flat, k: int, f, method: str):
         b_rep = self._split_flat(b_flat)
-        decomp = self.pass_one(b_rep, k)
+        if method == "one_pass":
+            decomp, basis_u, basis_n = self.pass_one_with_basis(b_rep, k)
+        else:
+            decomp = self.pass_one(b_rep, k)
         y = padded_f_e1(decomp, f)
         idx = jnp.arange(k)
         y_full = jnp.where(idx < decomp.steps_taken,
                            y.astype(jnp.float32) * decomp.b_norm, 0.0)
-        xu, xn = self.pass_two(b_rep, decomp, y_full)
+        if method == "one_pass":
+            # x = V_k · y: one big memory-bound contraction over the stored
+            # basis (reference ``src/solvers.rs:96-104``).
+            xu = jnp.einsum("krl,k->rl", basis_u, y_full)
+            xn = jnp.einsum("krl,k->rl", basis_n, y_full)
+        else:
+            xu, xn = self.pass_two(b_rep, decomp, y_full)
         # one stacked output array => one device→host transfer on fetch
         return jnp.concatenate([xu, xn], axis=0), decomp
 
-    def solve(self, b, k: int, f="inv", raw: bool = False):
-        """Two-pass f(A)·b. Returns ``(x, decomposition)``; ``x`` is an (n,)
-        NumPy array in the original ordering, or the raw stacked
-        ``(R+P2, 128)`` rep-layout device array when ``raw=True`` (cheaper:
-        skips the unpermute and the host round-trip)."""
+    def solve(self, b, k: int, f="inv", method: str = "two_pass",
+              raw: bool = False):
+        """f(A)·b via the fused kernels. ``method`` ∈ {"one_pass",
+        "two_pass"}. Returns ``(x, decomposition)``; ``x`` is an (n,) NumPy
+        array in the original ordering, or the raw stacked ``(R+P2, 128)``
+        rep-layout device array when ``raw=True`` (cheaper: skips the
+        unpermute and the host round-trip)."""
         b_flat = self.pack_flat(b)
         if not hasattr(self, "_solve_jit"):
-            self._solve_jit = jax.jit(self._solve_rep, static_argnums=(1, 2))
-        x_flat, decomp = self._solve_jit(b_flat, k, f)
+            self._solve_jit = jax.jit(
+                self._solve_rep, static_argnums=(1, 2, 3))
+        x_flat, decomp = self._solve_jit(b_flat, k, f, method)
         if raw:
             return x_flat, decomp
         x_np = np.asarray(x_flat)
