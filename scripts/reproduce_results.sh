@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Reproduce the reference's published results/ CSVs with this framework.
+#
+# Accuracy + orthogonality run on CPU in f64 (reference precision,
+# tex/report.tex:323); the tradeoff/scalability/dense timing experiments run
+# on the default backend — the fused TPU path when a chip is attached.
+#
+# Usage: scripts/reproduce_results.sh [outdir]   (default: results/)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT=${1:-results}
+mkdir -p "$OUT"
+RUN="python -m"
+
+for fn in exp inv; do
+  for sc in well ill; do
+    $RUN two_pass_lanczos_tpu.experiments.stability \
+      --function $fn --scenario ${sc}-conditioned --size 10000 \
+      --k-min 10 --k-max 200 --k-step 10 --cpu-f64 \
+      --output "$OUT/accuracy_${fn}_${sc}-conditioned.csv"
+    $RUN two_pass_lanczos_tpu.experiments.orthogonality \
+      --function $fn --scenario ${sc}-conditioned --size 10000 \
+      --k-min 20 --k-max 1000 --k-step 20 --cpu-f64 \
+      --output "$OUT/orthogonality_${fn}_${sc}-conditioned.csv"
+  done
+done
+
+for arcs in 5000 50000 500000; do
+  name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")
+  $RUN two_pass_lanczos_tpu.experiments.tradeoff \
+    --arcs $arcs --rho 3 --k-start 50 --k-end 1000 --k-step 50 \
+    --output "$OUT/tradeoff_arcs${name}_rho3.csv"
+done
+
+$RUN two_pass_lanczos_tpu.experiments.scalability \
+  --arcs-start 50000 --arcs-end 500000 --arcs-step 50000 --rho 3 --k 500 \
+  --output "$OUT/scalability_k500_rho3.csv"
+
+$RUN two_pass_lanczos_tpu.experiments.dense_tradeoff \
+  --size 10000 --k-start 100 --k-end 1000 --k-step 100 \
+  --output "$OUT/dense_tradeoff.csv"
+
+echo "all results written to $OUT/"
