@@ -8,6 +8,7 @@ reductions as cross-device ``psum``s, and the remote vector segments obtained
 by all-gather inside the jitted scan.
 """
 
+from two_pass_lanczos_tpu.parallel.fused_sharded import ShardedFusedKKTSolver
 from two_pass_lanczos_tpu.parallel.mesh import make_mesh, initialize_distributed
 from two_pass_lanczos_tpu.parallel.partition import snake_partition, RowPartition
 from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
@@ -18,4 +19,5 @@ __all__ = [
     "snake_partition",
     "RowPartition",
     "ShardedSparseOperator",
+    "ShardedFusedKKTSolver",
 ]
