@@ -64,6 +64,7 @@ from two_pass_lanczos_tpu.operators import (
     as_operator,
     make_kkt_operator,
 )
+from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
 
 __version__ = "0.1.0"
@@ -90,6 +91,7 @@ __all__ = [
     "make_kkt_operator",
     "CallableOperator",
     "as_operator",
+    "FusedKKTSolver",
     # matrix functions
     "make_inv_solver",
     "make_exp_solver",
