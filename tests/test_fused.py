@@ -148,3 +148,14 @@ class TestFusedSolve:
         x, dec = s.solve(np.zeros(len(d) + p, np.float32), k=8, f="inv")
         assert int(dec.steps_taken) == 0
         np.testing.assert_array_equal(x, 0.0)
+
+
+def test_vmem_size_guard():
+    """Instances beyond the per-chip VMEM budget are rejected with guidance."""
+    from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+    big = FusedKKTSolver.MAX_ARCS + 1
+    with pytest.raises(ValueError, match="ShardedFusedKKTSolver"):
+        # shape-only check: must raise before touching the (huge) arrays
+        FusedKKTSolver(np.zeros(big, np.float32), np.zeros(big, np.int32),
+                       np.ones(big, np.int32), 100)

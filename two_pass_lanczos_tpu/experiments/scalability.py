@@ -81,9 +81,15 @@ def main(argv=None) -> int:
         for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
             inst = _generate_validated(arcs, args.rho, args.max_retries)
             n = inst.num_arcs + inst.num_nodes
-            if backend == "fused":
+            use_fused = backend == "fused"
+            if use_fused:
                 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 
+                if inst.num_arcs > FusedKKTSolver.MAX_ARCS:
+                    log.warning("instance too large for the VMEM-resident "
+                                "fused solver; using the pallas path")
+                    use_fused = False
+            if use_fused:
                 solver = FusedKKTSolver(
                     np.asarray(inst.quad_costs, np.float32),
                     inst.arc_u, inst.arc_v, inst.num_nodes)
@@ -92,12 +98,13 @@ def main(argv=None) -> int:
             else:
                 op = tpl.make_kkt_operator(
                     inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
-                    dtype=dtype, backend=backend,
+                    dtype=dtype,
+                    backend="pallas" if backend == "fused" else backend,
                 )
                 _, b = known_solution_problem(op, n)
             for variant in VARIANTS:
                 method = "one_pass" if variant == "standard" else "two_pass"
-                if backend == "fused":
+                if use_fused:
                     def solve():
                         x, _ = solver.solve(b_fused, k=args.k, f="inv",
                                             method=method, raw=True)

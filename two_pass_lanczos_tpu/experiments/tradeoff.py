@@ -92,6 +92,11 @@ def _run_variant(args, variant, emit):
         from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 
         arrays = _load_arrays(args)
+        if arrays.num_arcs > FusedKKTSolver.MAX_ARCS:
+            log.warning("instance too large for the VMEM-resident fused "
+                        "solver; falling back to the streaming pallas path")
+            args.backend = "pallas"
+            return _run_variant(args, variant, emit)
         solver = FusedKKTSolver(
             np.asarray(arrays.quad_costs, np.float32),
             arrays.arc_u, arrays.arc_v, arrays.num_nodes)

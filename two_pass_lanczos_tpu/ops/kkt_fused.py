@@ -563,8 +563,22 @@ class FusedKKTSolver:
     Pallas interpreter (CPU correctness testing).
     """
 
+    #: approximate VMEM bytes per padded arc slot: 6 arc arrays (d/es/eo × 2
+    #: orderings, 4 B each) + 2 gn3 arrays (lane-padded) + 3 b inputs +
+    #: 9 work buffers ≈ 72 B/slot; v5e usable VMEM ≈ 110 MB.
+    VMEM_BYTES_PER_SLOT = 72
+    MAX_ARCS = (110 * 1024 * 1024) // (72 * 115) * 100  # ~1.4M (11% slot pad)
+
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  dtype=np.float32, interpret: bool = False):
+        m = len(np.asarray(quad_costs))
+        if m > self.MAX_ARCS and not interpret:
+            raise ValueError(
+                f"instance has {m} arcs; the fully VMEM-resident fused solver"
+                f" fits ~{self.MAX_ARCS} arcs per chip. Use"
+                " parallel.ShardedFusedKKTSolver (per-device VMEM residency"
+                " over a mesh) or make_kkt_operator(backend='pallas') +"
+                " solve_fAb (HBM-streaming) for larger instances.")
         self.layout = SortedKKTLayout.build(
             quad_costs, arc_u, arc_v, num_nodes, dtype=dtype)
         self.interpret = interpret
