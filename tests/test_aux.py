@@ -88,3 +88,46 @@ def test_sol_report():
     assert rep.nnz == 2_500_000
     assert 0 < rep.sol_fraction < 1
     assert "speed of light" in str(rep)
+
+
+class TestErrorMessages:
+    """Exact message-format tests, the reference's Display tier
+    (``src/error.rs:69-129``)."""
+
+    def test_breakdown(self):
+        e = tpl.BreakdownError(7)
+        assert str(e) == ("Numerical breakdown occurred at iteration 7: beta "
+                          "is numerically zero (the Krylov subspace is "
+                          "invariant).")
+        assert e.k == 7
+
+    def test_dimension_mismatch(self):
+        e = tpl.DimensionMismatchError(10, 5, "vector b")
+        assert str(e) == "Dimension mismatch for vector b: expected 10, got 5."
+
+    def test_parameter_mismatch(self):
+        e = tpl.ParameterMismatchError("y_k_prime", 30, 29)
+        assert str(e) == ("Parameter 'y_k_prime' has mismatched size: "
+                          "expected 30, got 29.")
+
+    def test_hierarchy(self):
+        for cls in (tpl.BreakdownError, tpl.DimensionMismatchError,
+                    tpl.InputError, tpl.ParameterMismatchError,
+                    tpl.EvdError, tpl.SolverError):
+            assert issubclass(cls, tpl.LanczosError)
+
+
+def test_readme_quickstart():
+    """The crate-level doctest of the reference (``src/lib.rs:35-84``):
+    a 4x4 runnable example where one-pass and two-pass agree to 1e-12."""
+    import jax.numpy as jnp
+
+    a = jnp.array([[2.0, 1, 0, 0], [1, 3, 1, 0], [0, 1, 4, 1], [0, 0, 1, 5]])
+    b = jnp.array([1.0, 2.0, 3.0, 4.0])
+    op = tpl.as_operator(a)
+    x1 = tpl.lanczos(op, b, 4, tpl.make_inv_solver())
+    x2 = tpl.lanczos_two_pass(op, b, 4, tpl.make_inv_solver())
+    assert float(jnp.linalg.norm(x1 - x2)) < 1e-12
+    # and against a dense solve
+    x_true = jnp.linalg.solve(a, b)
+    assert float(jnp.linalg.norm(x1 - x_true)) < 1e-10

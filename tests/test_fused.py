@@ -159,3 +159,31 @@ def test_vmem_size_guard():
         # shape-only check: must raise before touching the (huge) arrays
         FusedKKTSolver(np.zeros(big, np.float32), np.zeros(big, np.int32),
                        np.ones(big, np.int32), 100)
+
+
+def test_checkpoint_resume_fused(rng, tmp_path):
+    """Pass-one state from the fused kernel checkpoints and resumes pass two
+    (the reference's 'arbitrary work between passes' capability, SURVEY §5)."""
+    from two_pass_lanczos_tpu.checkpoint import (
+        load_decomposition, save_decomposition)
+    from two_pass_lanczos_tpu.functions import padded_f_e1
+
+    d, u, v, p = _random_kkt(rng, m=500, p=130)
+    b = rng.standard_normal(len(d) + p).astype(np.float32)
+    k = 15
+    s = FusedKKTSolver(d, u, v, p, interpret=True)
+    b_rep = s.pack(b)
+    dec = s.pass_one(b_rep, k)
+    save_decomposition(tmp_path / "dec.npz", dec)
+
+    # "another job": fresh solver, load, replay pass two
+    s2 = FusedKKTSolver(d, u, v, p, interpret=True)
+    dec2 = load_decomposition(tmp_path / "dec.npz")
+    y = padded_f_e1(dec2, "inv")
+    y_full = np.where(np.arange(k) < int(dec2.steps_taken),
+                      np.asarray(y, np.float32) * float(dec2.b_norm), 0.0)
+    xu, xn = s2.pass_two(s2.pack(b), dec2, jnp.asarray(y_full))
+    x = s2.layout.unpack(np.asarray(xu), np.asarray(xn))
+
+    x_direct, _ = s.solve(b, k=k, f="inv")
+    np.testing.assert_allclose(x, x_direct, rtol=0, atol=1e-6)
