@@ -111,3 +111,46 @@ def test_mcfgen_instance_passes_property_harness(native_build, tmp_path):
     sys_ = kkt_operator_from_files(tmp_path / f"{base}.dmx", tmp_path / f"{base}.qfc")
     for rep in run_all_properties(sys_.operator, seeded_b(sys_.n)):
         assert rep.passed, f"{rep.name} = {rep.value:.3e}"
+
+
+def test_mcfgen_three_stage_pipeline(native_build, tmp_path):
+    """Stage-compatible modes: pargen -> .par, netgen < .par -> .dmx,
+    qfcgen .dmx -> .qfc (the reference's three-binary pipeline,
+    ``src/bin/datagen.rs:124-233``), and the result loads as a KKT system."""
+    from two_pass_lanczos_tpu.utils.data_loader import load_kkt_arrays
+
+    mcfgen = native_build / "mcfgen"
+    base = "netgen-4000-3-2-a-b-ns"
+    run = lambda args, **kw: subprocess.run(
+        args, cwd=tmp_path, capture_output=True, text=True, check=True, **kw)
+
+    run([str(mcfgen), "pargen", "4000", "3", "2", "a", "b", "ns"])
+    par = tmp_path / f"{base}.par"
+    assert par.exists()
+    lines = par.read_text().split()
+    assert len(lines) == 15  # seed + the 14 NETGEN parameters
+    nodes, arcs = int(lines[2]), int(lines[5])
+    assert arcs == 4000 and nodes >= 2
+
+    with open(par) as fin, open(tmp_path / f"{base}.dmx", "w") as fout:
+        subprocess.run([str(mcfgen), "netgen"], stdin=fin, stdout=fout,
+                       cwd=tmp_path, check=True)
+    run([str(mcfgen), "qfcgen", f"{base}.dmx"])
+
+    arrays = load_kkt_arrays(tmp_path / f"{base}.dmx", tmp_path / f"{base}.qfc")
+    assert arrays.num_arcs == 4000 and arrays.num_nodes == nodes
+    assert (arrays.quad_costs > 0).all()
+
+
+def test_mcfgen_netgen_accepts_reference_presets(native_build, tmp_path):
+    """``mcfgen netgen`` consumes the classic NETGEN .par format directly
+    (e.g. the reference's 60 presets under data/netgen/param)."""
+    par = tmp_path / "preset.par"
+    par.write_text("919377606\n 1 1024 102 102 32768 1 5000 71000 0 0 0 100 1 1000\n")
+    with open(par) as fin:
+        proc = subprocess.run([str(native_build / "mcfgen"), "netgen"],
+                              stdin=fin, capture_output=True, text=True,
+                              check=True)
+    head = proc.stdout.splitlines()
+    assert any(ln.startswith("p min 1024 32768") for ln in head[:3])
+    assert sum(1 for ln in head if ln.startswith("a ")) == 32768
