@@ -71,3 +71,18 @@ class TestShardedFused:
         x, dec = s.solve(np.zeros(len(d) + p, np.float32), k=6, f="inv")
         assert int(dec.steps_taken) == 0
         np.testing.assert_array_equal(x, 0.0)
+
+
+def test_mesh_of_one_is_the_streaming_single_chip_path(rng):
+    """ShardedFusedKKTSolver over a 1-device mesh = the large-instance
+    single-chip solver (grid-blocked streaming matvec, no VMEM size cap);
+    it must agree with the VMEM-resident FusedKKTSolver."""
+    d, u, v, p = _random_kkt(rng, m=2000, p=200)
+    b = rng.standard_normal(len(d) + p).astype(np.float32)
+    m1 = make_mesh(1)
+    s1 = ShardedFusedKKTSolver(d, u, v, p, m1, interpret=True)
+    x1, dec1 = s1.solve(b, k=15, f="inv")
+    sf = FusedKKTSolver(d, u, v, p, interpret=True)
+    xf, decf = sf.solve(b, k=15, f="inv")
+    rel = np.linalg.norm(x1 - xf) / np.linalg.norm(xf)
+    assert rel < 1e-4, rel

@@ -546,6 +546,84 @@ def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 
 
 # ---------------------------------------------------------------------------
+# Streaming (grid-blocked) matvec: instances larger than VMEM
+# ---------------------------------------------------------------------------
+
+def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
+                             winu, winv, yu, yv, yn, acc, *, p_hi):
+    """One grid step = one CHUNK of both orderings, blocks streamed from HBM.
+
+    Same math as :func:`_emit_matvec`, but the arc data and vector chunks are
+    grid-blocked so Pallas double-buffers them — this is the path for
+    instances whose dual layout does not fit VMEM (it reads arc data from HBM
+    once *per matvec* instead of once per pass). The node table and the
+    scatter accumulator stay resident; the accumulator is flushed to ``yn``
+    at the last grid step (the TPU grid is sequential).
+    """
+    i = pl.program_id(0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+
+    for x_ref, y_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign in (
+            (xu, yu, du, esu, eou, gnu, winu, 1.0),
+            (xv, yv, dv, esv, eov, gnv, winv, -1.0)):
+        x2 = x_ref[:]
+        es = es_ref[:]
+        eo = eo_ref[:]
+        r0 = win_ref[i]
+        g_s = _window_gather(xn, es, r0, 2)
+        g_o = _window_gather(xn, eo, 0, p_hi)
+        y_ref[:] = d_ref[:] * x2 + sign * (g_s - g_o)
+        rs = jnp.sum(x2, axis=1, keepdims=True)
+        gn = gn_ref[0]  # (128, 1) rel node ids of this chunk
+        s_lo = jnp.sum(jnp.where(gn == lanes, rs, 0.0), axis=0, keepdims=True)
+        s_hi = jnp.sum(jnp.where(gn - LANE == lanes, rs, 0.0), axis=0,
+                       keepdims=True)
+        acc[pl.ds(r0, 1), :] = acc[pl.ds(r0, 1), :] + sign * s_lo
+        acc[pl.ds(r0 + 1, 1), :] = acc[pl.ds(r0 + 1, 1), :] + sign * s_hi
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        yn[:] = acc[:]
+
+
+def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
+                         p2: int, interpret: bool = False):
+    """Grid-blocked A·x in the rep layout; any instance size.
+
+    ``arrs`` = (du2, esu2, eou2, gnu3, dv2, esv2, eov2, gnv3) device arrays,
+    ``wins`` = (winu, winv) int32 arrays. Returns (yu, yv, yn).
+    """
+    r = xu.shape[0]
+    blk = lambda: pl.BlockSpec((CHUNK, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    gnb = lambda: pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((p2, LANE), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = functools.partial(_matvec_streaming_kernel, p_hi=p_hi)
+    return pl.pallas_call(
+        kern,
+        grid=(c_chunks,),
+        in_specs=[blk(), blk(), blk(), gnb(), blk(), blk(), blk(), gnb(),
+                  blk(), blk(), full, sm, sm],
+        out_specs=[blk(), blk(), full],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p2, LANE), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((p2, LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*arrs, xu, xv, xn, *wins)
+
+
+# ---------------------------------------------------------------------------
 # Host/jit driver
 # ---------------------------------------------------------------------------
 
@@ -578,7 +656,8 @@ class FusedKKTSolver:
                 f" fits ~{self.MAX_ARCS} arcs per chip. Use"
                 " parallel.ShardedFusedKKTSolver (per-device VMEM residency"
                 " over a mesh) or make_kkt_operator(backend='pallas') +"
-                " solve_fAb (HBM-streaming) for larger instances.")
+                " solve_fAb for larger instances (a 1-device mesh gives the"
+                " single-chip streaming path).")
         self.layout = SortedKKTLayout.build(
             quad_costs, arc_u, arc_v, num_nodes, dtype=dtype)
         self.interpret = interpret

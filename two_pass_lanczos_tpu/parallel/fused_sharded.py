@@ -30,15 +30,12 @@ per-device-count summation orders differ, so N-device results agree with
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from two_pass_lanczos_tpu.algorithms.core import (
@@ -48,9 +45,8 @@ from two_pass_lanczos_tpu.algorithms.core import (
 from two_pass_lanczos_tpu.functions import padded_f_e1
 from two_pass_lanczos_tpu.ops.kkt_fused import (
     LANE,
-    VMEM_LIMIT,
     SortedKKTLayout,
-    _matvec_kernel,
+    kkt_streaming_matvec,
 )
 
 __all__ = ["ShardedFusedKKTSolver"]
@@ -139,25 +135,13 @@ class ShardedFusedKKTSolver:
 
     # ------------------------------------------------------------------
     def _local_matvec_call(self, arrs, wins, xu, xv, xn):
-        """One per-device fused matvec kernel: local arc outputs + the local
-        node-scatter partial (to be psum-reduced by the caller)."""
-        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-        kern = functools.partial(
-            _matvec_kernel, p_hi=self.p_hi, c_chunks=self.C)
-        return pl.pallas_call(
-            kern,
-            in_specs=[vm] * 11 + [sm, sm],
-            out_specs=[vm, vm, vm],
-            out_shape=[
-                jax.ShapeDtypeStruct((self.R, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((self.R, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((self.P2, LANE), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_LIMIT),
-            interpret=self.interpret,
-        )(*arrs, xu, xv, xn, *wins)
+        """One per-device matvec: local arc outputs + the local node-scatter
+        partial (to be psum-reduced by the caller). Uses the grid-blocked
+        streaming kernel, so each device's shard may be arbitrarily large
+        (chunks are double-buffered from HBM)."""
+        return kkt_streaming_matvec(
+            arrs, wins, xu, xv, xn, p_hi=self.p_hi, c_chunks=self.C,
+            p2=self.P2, interpret=self.interpret)
 
     def _build_solve(self, k: int, f, method: str):
         axis, tol = self.axis, self.tol
