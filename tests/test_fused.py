@@ -187,3 +187,53 @@ def test_checkpoint_resume_fused(rng, tmp_path):
 
     x_direct, _ = s.solve(b, k=k, f="inv")
     np.testing.assert_allclose(x, x_direct, rtol=0, atol=1e-6)
+
+
+class TestWindowedGather:
+    """The row-wise windowed other-endpoint gather (wg > 0) — active when
+    each node's neighbors are clustered (or its arcs span multiple sorted
+    groups); random small graphs fall back to the full p_hi loop."""
+
+    def _banded_kkt(self, rng, m=2500, p=640, band=90):
+        u = rng.integers(0, p - band - 1, m).astype(np.int32)
+        v = (u + 1 + rng.integers(0, band, m)).astype(np.int32)
+        d = rng.uniform(1.0, 3.0, m).astype(np.float32)
+        return d, u, v, p
+
+    def test_windowed_path_active_and_correct(self, rng):
+        d, u, v, p = self._banded_kkt(rng)
+        s = FusedKKTSolver(d, u, v, p, interpret=True, windowed=True)
+        assert s.layout.u.wg > 0 and s.layout.v.wg > 0  # windowed, not fallback
+        assert s.layout.u.wg < s.layout.p_hi
+        x = rng.standard_normal(len(d) + p).astype(np.float32)
+        y = s.matvec(x)
+        y_ref = np.asarray(_xla_op(d, u, v, p).matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=0,
+                                   atol=2e-5 * np.abs(y_ref).max())
+
+    def test_windowed_solve_matches_generic(self, rng):
+        d, u, v, p = self._banded_kkt(rng)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        s = FusedKKTSolver(d, u, v, p, interpret=True, windowed=True)
+        assert s.layout.u.wg > 0
+        x, dec = s.solve(b, k=20, f="inv")
+        x_ref = np.asarray(tpl.solve_fAb(
+            _xla_op(d, u, v, p), jnp.asarray(b), k=20, f="inv",
+            method="two_pass"))
+        rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-4, rel
+
+    def test_windowed_sharded(self, rng):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedFusedKKTSolver, make_mesh)
+
+        d, u, v, p = self._banded_kkt(rng, m=3000)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        s8 = ShardedFusedKKTSolver(d, u, v, p, make_mesh(8), interpret=True,
+                                   windowed=True)
+        assert s8.wg_u > 0
+        x8, _ = s8.solve(b, k=15, f="inv")
+        s1 = FusedKKTSolver(d, u, v, p, interpret=True)
+        x1, _ = s1.solve(b, k=15, f="inv")
+        rel = np.linalg.norm(x8 - x1) / np.linalg.norm(x1)
+        assert rel < 1e-4, rel

@@ -82,21 +82,30 @@ def _round_up(x: int, mlt: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class _Ordering:
-    """One sorted arc ordering (host-side build product)."""
+    """One sorted arc ordering (host-side build product).
+
+    ``gn3[..., 0]`` is the group's relative node id for the scatter window
+    (512 = inert); ``gn3[..., 1]`` is the group's other-endpoint gather
+    window base row (valid when ``wg`` is set).
+    """
 
     d2: np.ndarray  # (R, 128) f32 — quadratic costs, 0 at pad slots
     es2: np.ndarray  # (R, 128) i32 — sorted ("self") endpoint per slot
     eo2: np.ndarray  # (R, 128) i32 — other endpoint per slot
-    gn3: np.ndarray  # (C, 128, 1) i32 — group rel-node id (512 = inert)
+    gn3: np.ndarray  # (C, 128, 2) i32 — [rel node id | gather window base]
     win: np.ndarray  # (C,) i32 — node-table row base of the chunk's window
     pos: np.ndarray  # (m,) i64 — original arc index -> flat slot
     R: int
     C: int
+    wg: int  # other-endpoint gather window rows (0 = use the full loop)
 
 
-def _build_ordering(d, key, other, p, dtype) -> _Ordering:
+def _build_ordering(d, key, other, p, dtype, windowed: bool) -> _Ordering:
     m = len(d)
-    order = np.argsort(key, kind="stable")
+    p_hi = _round_up(p, LANE) // LANE
+    # sort by (key, other): intra-node ordering by the other endpoint gives
+    # each 128-slot group a narrow static window of other-endpoint segments.
+    order = np.lexsort((other, key))
     ksort = key[order].astype(np.int64)
     osort = other[order].astype(np.int64)
     dsort = np.asarray(d)[order]
@@ -121,30 +130,52 @@ def _build_ordering(d, key, other, p, dtype) -> _Ordering:
     first = gn2[:, 0]
     n0 = np.where(first >= 0, (first // LANE) * LANE, 0)
 
+    # pad/inert slots: the sentinel endpoint (row p_hi = the node table's
+    # zero padding row) makes BOTH gathers return exactly 0, so the slot's
+    # matvec output is 0 and it stays 0 through every iteration.
+    sentinel = np.int32(p_hi * LANE)
     dflat = np.zeros(slots, dtype)
-    es = np.zeros(slots, np.int32)
-    eo = np.zeros(slots, np.int32)
+    es = np.full(slots, sentinel, np.int32)
+    eo = np.full(slots, sentinel, np.int32)
     dflat[slot] = dsort
     es[slot] = ksort
     eo[slot] = osort
-    # pad slots: both endpoints = the owning node (the chunk's aligned base
-    # node for inert groups, keeping them inside the chunk's gather window)
-    # so the two gather terms cancel exactly and the slot's output is 0.
-    group_fill = np.where(gnode >= 0, gnode, np.repeat(n0, CHUNK))
-    pad_fill = np.repeat(group_fill, LANE).astype(np.int32)
     mask = np.zeros(slots, bool)
     mask[slot] = True
-    es[~mask] = pad_fill[~mask]
-    eo[~mask] = pad_fill[~mask]
+
     gnrel = np.where(gnode >= 0, gnode - np.repeat(n0, CHUNK), 512)
     if not ((gnrel >= 0) & ((gnrel < 2 * LANE) | (gnrel == 512))).all():
         raise AssertionError("scatter window invariant violated")
-    # sorted-endpoint gather shares the same 2-row window: es values of a
-    # chunk lie within [n0, n0 + 255] by the >= 1-group-per-node guarantee.
+    # sorted-endpoint gather shares the chunk's 2-row window: real es values
+    # lie within [n0, n0 + 255] by the >= 1-group-per-node guarantee
+    # (sentinels hit the zero padding row and contribute 0).
     row_of_es = (es.reshape(c_chunks, CHUNK * LANE) >> 7)
     win = (n0 // LANE).astype(np.int32)
-    if not ((row_of_es >= win[:, None]) & (row_of_es <= win[:, None] + 1)).all():
+    real2 = mask.reshape(c_chunks, CHUNK * LANE)
+    ok = ~real2 | ((row_of_es >= win[:, None]) & (row_of_es <= win[:, None] + 1))
+    if not ok.all():
         raise AssertionError("sorted-gather window invariant violated")
+
+    # per-group other-endpoint window: rows [base, base + wg) of the node
+    # table cover every real eo in the group; base clamped so the window
+    # stays inside the (p_hi + 1)-row padded table.
+    seg = (eo >> 7).reshape(r_rows, LANE)
+    realr = mask.reshape(r_rows, LANE)
+    smin = np.where(realr, seg, np.iinfo(np.int32).max).min(axis=1)
+    smax = np.where(realr, seg, -1).max(axis=1)
+    empty = smax < 0
+    spans = np.where(empty, 1, smax - np.where(empty, 0, smin) + 1)
+    wg = int(spans.max()) if r_rows else 1
+    if not windowed or wg >= p_hi:
+        wg = 0  # no structure to exploit: kernels use the full p_hi loop
+        base = np.zeros(r_rows, np.int64)
+    else:
+        # clamp so [base, base + wg) stays inside the (p_hi + 1)-row table;
+        # empty (all-sentinel) rows read the zero pad row harmlessly
+        hi_base = max(p_hi + 1 - wg, 0)
+        base = np.where(empty, hi_base, np.minimum(smin, hi_base))
+    gn3 = np.stack([gnrel.reshape(c_chunks, CHUNK),
+                    base.reshape(c_chunks, CHUNK)], axis=-1).astype(np.int32)
 
     pos = np.empty(m, np.int64)
     pos[order] = slot
@@ -152,11 +183,12 @@ def _build_ordering(d, key, other, p, dtype) -> _Ordering:
         d2=dflat.reshape(r_rows, LANE),
         es2=es.reshape(r_rows, LANE),
         eo2=eo.reshape(r_rows, LANE),
-        gn3=gnrel.astype(np.int32).reshape(c_chunks, CHUNK, 1),
+        gn3=gn3,
         win=win,
         pos=pos,
         R=r_rows,
         C=c_chunks,
+        wg=wg,
     )
 
 
@@ -177,14 +209,21 @@ class SortedKKTLayout:
     dtype: np.dtype
 
     @classmethod
-    def build(cls, quad_costs, arc_u, arc_v, num_nodes, dtype=np.float32):
+    def build(cls, quad_costs, arc_u, arc_v, num_nodes, dtype=np.float32,
+              windowed: bool = False):
+        # ``windowed=True`` enables the row-wise windowed other-endpoint
+        # gather (``_rowwise_window_gather``). Measured on the target v5e it
+        # is ~12% SLOWER than the full-loop gather (the tiny-K one-hot MXU
+        # row-select stalls exceed the VPU savings), so it is opt-in — kept
+        # because the trade-off may flip on hardware with different MXU/VPU
+        # contention. See PERF.md.
         quad_costs = np.asarray(quad_costs)
         arc_u = np.asarray(arc_u, np.int64)
         arc_v = np.asarray(arc_v, np.int64)
         p = int(num_nodes)
         dtype = np.dtype(dtype)
-        ou = _build_ordering(quad_costs, arc_u, arc_v, p, dtype)
-        ov = _build_ordering(quad_costs, arc_v, arc_u, p, dtype)
+        ou = _build_ordering(quad_costs, arc_u, arc_v, p, dtype, windowed)
+        ov = _build_ordering(quad_costs, arc_v, arc_u, p, dtype, windowed)
         # equalize R (and C) so the kernel's chunk loop is uniform
         r = max(ou.R, ov.R)
         ou, ov = (_pad_ordering(o, r) for o in (ou, ov))
@@ -225,9 +264,11 @@ def _pad_ordering(o: _Ordering, r: int) -> _Ordering:
     return _Ordering(
         d2=padr(o.d2), es2=padr(o.es2), eo2=padr(o.eo2),
         gn3=np.concatenate(
-            [o.gn3, np.full((extra_c, CHUNK, 1), 512, np.int32)]),
+            [o.gn3, np.stack([np.full((extra_c, CHUNK), 512, np.int32),
+                              np.zeros((extra_c, CHUNK), np.int32)],
+                             axis=-1)]),
         win=np.concatenate([o.win, np.zeros(extra_c, np.int32)]),
-        pos=o.pos, R=r, C=c,
+        pos=o.pos, R=r, C=c, wg=o.wg,
     )
 
 
@@ -253,29 +294,63 @@ def _window_gather(xn_ref, e, row0, nrows):
     return g
 
 
+def _rowwise_window_gather(xn_ref, e, rb_col, wg):
+    """g[r, l] = x_n[e[r, l]] where each ROW r's endpoints lie within its own
+    static window [rb_col[r], rb_col[r] + wg) of node-table rows.
+
+    Iteration t selects table row ``rb_col[r] + t`` PER ROW via a tiny exact
+    one-hot contraction (K = table rows, one nonzero per output row) on the
+    otherwise-idle MXU, then lane-gathers from it. Exploits the intra-node
+    sort by the other endpoint: ``wg`` (the max per-group segment span,
+    static) is typically 3–5 vs the full ``p_hi`` loop of
+    :func:`_window_gather`.
+    """
+    p2 = xn_ref.shape[0]
+    lo = e & (LANE - 1)
+    hi = e >> 7
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, p2), 1)
+    xn = xn_ref[:]
+    g = jnp.zeros(e.shape, jnp.float32)
+    for t in range(wg):
+        ridx = rb_col + t  # (128, 1)
+        oh = (ridx == rows_iota).astype(jnp.float32)  # (128, p2) exact
+        tsel = jax.lax.dot_general(
+            oh, xn, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (128, 128): row r of table
+        picked = jnp.take_along_axis(tsel, lo, axis=1)
+        g = jnp.where(hi == ridx, picked, g)
+    return g
+
+
 def _emit_matvec(orders, xn_ref, wn_ref, *, p_hi, c_chunks):
     """w = A·x in the rep layout. ``orders`` is a pair of per-ordering tuples
-    ``(x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign)``."""
+    ``(x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg)``."""
     wn_ref[:] = jnp.zeros(wn_ref.shape, jnp.float32)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
-    for x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign in orders:
+    for x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg in orders:
 
         def body(c, _, x_ref=x_ref, w_ref=w_ref, d_ref=d_ref, es_ref=es_ref,
-                 eo_ref=eo_ref, gn_ref=gn_ref, win_ref=win_ref, sign=sign):
+                 eo_ref=eo_ref, gn_ref=gn_ref, win_ref=win_ref, sign=sign,
+                 wg=wg):
             sl = pl.ds(c * CHUNK, CHUNK)
             x2 = x_ref[sl, :]
             es = es_ref[sl, :]
             eo = eo_ref[sl, :]
             r0 = win_ref[c]
+            gnrb = gn_ref[c]  # (128, 2): [rel node id | gather window base]
             g_s = _window_gather(xn_ref, es, r0, 2)
-            g_o = _window_gather(xn_ref, eo, 0, p_hi)
+            if wg:
+                g_o = _rowwise_window_gather(xn_ref, eo, gnrb[:, 1:2], wg)
+            else:
+                g_o = _window_gather(xn_ref, eo, 0, p_hi)
             y2 = d_ref[sl, :] * x2 + sign * (g_s - g_o)
             if w_ref is not None:
                 w_ref[sl, :] = y2
             # segmented-sum scatter: 128-lane row sums, then a compare/select
             # reduction into the chunk's static 256-node window.
             rs = jnp.sum(x2, axis=1, keepdims=True)  # (128, 1)
-            gn = gn_ref[c]  # (128, 1) rel node ids
+            gn = gnrb[:, 0:1]  # (128, 1) rel node ids
             s_lo = jnp.sum(jnp.where(gn == lanes, rs, 0.0), axis=0,
                            keepdims=True)
             s_hi = jnp.sum(jnp.where(gn - LANE == lanes, rs, 0.0), axis=0,
@@ -326,7 +401,7 @@ def _pass_one_kernel(
     alphas, betas, bnorm, steps_out,
     # scratch
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
-    *, k, p_hi, c_chunks, tol,
+    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
 ):
     nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
     b_norm = jnp.sqrt(nb2)
@@ -341,8 +416,8 @@ def _pass_one_kernel(
     vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0),
+        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, carry):
@@ -390,7 +465,7 @@ def _pass_one_basis_kernel(
     alphas, betas, bnorm, steps_out, basis_u, basis_n,
     # scratch
     su, sv, sn, sem_u, sem_n,
-    *, k, p_hi, c_chunks, tol,
+    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
 ):
     """Pass one + per-step DMA of v_{j+1} (u copy + node block) to HBM.
 
@@ -421,8 +496,8 @@ def _pass_one_basis_kernel(
     vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0),
+        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, carry):
@@ -479,7 +554,7 @@ def _pass_two_kernel(
     xu, xn,
     # scratch
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
-    *, k, p_hi, c_chunks, tol,
+    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
 ):
     b_norm = bnorm[0]
     steps = steps_in[0]
@@ -495,8 +570,8 @@ def _pass_two_kernel(
     xn[:] = y0 * vcn[:]
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0),
+        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, _):
@@ -537,10 +612,10 @@ def _pass_two_kernel(
 # ---------------------------------------------------------------------------
 
 def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
-                   winu, winv, yu, yv, yn, *, p_hi, c_chunks):
+                   winu, winv, yu, yv, yn, *, p_hi, c_chunks, wg_u, wg_v):
     orders = (
-        (xu, yu, du, esu, eou, gnu, winu, 1.0),
-        (xv, yv, dv, esv, eov, gnv, winv, -1.0),
+        (xu, yu, du, esu, eou, gnu, winu, 1.0, wg_u),
+        (xv, yv, dv, esv, eov, gnv, winv, -1.0, wg_v),
     )
     _emit_matvec(orders, xn, yn, p_hi=p_hi, c_chunks=c_chunks)
 
@@ -550,7 +625,7 @@ def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 # ---------------------------------------------------------------------------
 
 def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
-                             winu, winv, yu, yv, yn, acc, *, p_hi):
+                             winu, winv, yu, yv, yn, acc, *, p_hi, wg_u, wg_v):
     """One grid step = one CHUNK of both orderings, blocks streamed from HBM.
 
     Same math as :func:`_emit_matvec`, but the arc data and vector chunks are
@@ -567,18 +642,22 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
     def _init():
         acc[:] = jnp.zeros(acc.shape, jnp.float32)
 
-    for x_ref, y_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign in (
-            (xu, yu, du, esu, eou, gnu, winu, 1.0),
-            (xv, yv, dv, esv, eov, gnv, winv, -1.0)):
+    for x_ref, y_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg in (
+            (xu, yu, du, esu, eou, gnu, winu, 1.0, wg_u),
+            (xv, yv, dv, esv, eov, gnv, winv, -1.0, wg_v)):
         x2 = x_ref[:]
         es = es_ref[:]
         eo = eo_ref[:]
         r0 = win_ref[i]
+        gnrb = gn_ref[0]  # (128, 2): [rel node id | gather window base]
         g_s = _window_gather(xn, es, r0, 2)
-        g_o = _window_gather(xn, eo, 0, p_hi)
+        if wg:
+            g_o = _rowwise_window_gather(xn, eo, gnrb[:, 1:2], wg)
+        else:
+            g_o = _window_gather(xn, eo, 0, p_hi)
         y_ref[:] = d_ref[:] * x2 + sign * (g_s - g_o)
         rs = jnp.sum(x2, axis=1, keepdims=True)
-        gn = gn_ref[0]  # (128, 1) rel node ids of this chunk
+        gn = gnrb[:, 0:1]  # (128, 1) rel node ids of this chunk
         s_lo = jnp.sum(jnp.where(gn == lanes, rs, 0.0), axis=0, keepdims=True)
         s_hi = jnp.sum(jnp.where(gn - LANE == lanes, rs, 0.0), axis=0,
                        keepdims=True)
@@ -591,7 +670,8 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 
 
 def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
-                         p2: int, interpret: bool = False):
+                         p2: int, wg_u: int = 0, wg_v: int = 0,
+                         interpret: bool = False):
     """Grid-blocked A·x in the rep layout; any instance size.
 
     ``arrs`` = (du2, esu2, eou2, gnu3, dv2, esv2, eov2, gnv3) device arrays,
@@ -600,12 +680,13 @@ def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
     r = xu.shape[0]
     blk = lambda: pl.BlockSpec((CHUNK, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-    gnb = lambda: pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
+    gnb = lambda: pl.BlockSpec((1, CHUNK, 2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     full = pl.BlockSpec((p2, LANE), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    kern = functools.partial(_matvec_streaming_kernel, p_hi=p_hi)
+    kern = functools.partial(_matvec_streaming_kernel, p_hi=p_hi,
+                             wg_u=wg_u, wg_v=wg_v)
     return pl.pallas_call(
         kern,
         grid=(c_chunks,),
@@ -648,7 +729,8 @@ class FusedKKTSolver:
     MAX_ARCS = (110 * 1024 * 1024) // (72 * 115) * 100  # ~1.4M (11% slot pad)
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
-                 dtype=np.float32, interpret: bool = False):
+                 dtype=np.float32, interpret: bool = False,
+                 windowed: bool = False):
         m = len(np.asarray(quad_costs))
         if m > self.MAX_ARCS and not interpret:
             raise ValueError(
@@ -659,7 +741,8 @@ class FusedKKTSolver:
                 " solve_fAb for larger instances (a 1-device mesh gives the"
                 " single-chip streaming path).")
         self.layout = SortedKKTLayout.build(
-            quad_costs, arc_u, arc_v, num_nodes, dtype=dtype)
+            quad_costs, arc_u, arc_v, num_nodes, dtype=dtype,
+            windowed=windowed)
         self.interpret = interpret
         lay = self.layout
         self.n = lay.m + lay.p
@@ -709,7 +792,8 @@ class FusedKKTSolver:
         lay = self.layout
         vm, sm = self._common_specs()
         kern = functools.partial(
-            _matvec_kernel, p_hi=lay.p_hi, c_chunks=lay.u.C)
+            _matvec_kernel, p_hi=lay.p_hi, c_chunks=lay.u.C,
+            wg_u=lay.u.wg, wg_v=lay.v.wg)
         return pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -735,7 +819,7 @@ class FusedKKTSolver:
         vm, sm = self._common_specs()
         kern = functools.partial(
             _pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol)
+            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
         alphas, betas, bnorm, steps = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -762,7 +846,7 @@ class FusedKKTSolver:
         hbm = pl.BlockSpec(memory_space=pltpu.ANY)
         kern = functools.partial(
             _pass_one_basis_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol)
+            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
         alphas, betas, bnorm, steps, basis_u, basis_n = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -797,7 +881,7 @@ class FusedKKTSolver:
         vm, sm = self._common_specs()
         kern = functools.partial(
             _pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol)
+            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
         xu, xn = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm] * 7,

@@ -56,7 +56,8 @@ class ShardedFusedKKTSolver:
     """Distributed fused f(A)·b for one KKT instance over a 1-D mesh."""
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes, mesh: Mesh,
-                 axis: str = "rows", interpret: bool = False):
+                 axis: str = "rows", interpret: bool = False,
+                 windowed: bool = False):
         self.mesh = mesh
         self.axis = axis
         self.interpret = interpret
@@ -73,7 +74,7 @@ class ShardedFusedKKTSolver:
         self.arc_idx = np.array_split(np.arange(m, dtype=np.int64), ndev)
         self.layouts = [
             SortedKKTLayout.build(quad_costs[ix], arc_u[ix], arc_v[ix],
-                                  num_nodes)
+                                  num_nodes, windowed=windowed)
             for ix in self.arc_idx
         ]
         # uniform shapes across shards: pad every ordering to the global max R
@@ -90,6 +91,22 @@ class ShardedFusedKKTSolver:
         self.R, self.C = r, r // 128
         self.p_hi, self.P2 = lay0.p_hi, lay0.P2
         self.tol = float(breakdown_tolerance(jnp.float32))
+
+        # the kernel is one program across the mesh, so the windowed-gather
+        # width must be common: take the max over shards and re-clamp each
+        # shard's window bases (a wider window still covers every span and
+        # the clamp keeps reads inside the padded node table).
+        def common_wg(pick):
+            ws = [pick(lay).wg for lay in self.layouts]
+            return 0 if any(w == 0 for w in ws) else max(ws)
+
+        self.wg_u = common_wg(lambda l: l.u)
+        self.wg_v = common_wg(lambda l: l.v)
+        for lay in self.layouts:
+            for o, wg in ((lay.u, self.wg_u), (lay.v, self.wg_v)):
+                if wg:
+                    hi_base = max(self.p_hi + 1 - wg, 0)
+                    np.minimum(o.gn3[..., 1], hi_base, out=o.gn3[..., 1])
 
         def stack(get):
             return jnp.asarray(np.stack([get(lay) for lay in self.layouts]))
@@ -141,7 +158,8 @@ class ShardedFusedKKTSolver:
         (chunks are double-buffered from HBM)."""
         return kkt_streaming_matvec(
             arrs, wins, xu, xv, xn, p_hi=self.p_hi, c_chunks=self.C,
-            p2=self.P2, interpret=self.interpret)
+            p2=self.P2, wg_u=self.wg_u, wg_v=self.wg_v,
+            interpret=self.interpret)
 
     def _build_solve(self, k: int, f, method: str):
         axis, tol = self.axis, self.tol
