@@ -7,6 +7,12 @@ durable: pass one can run on one job/host, the decomposition saved, and pass
 two resumed later (or elsewhere — it is backend- and shard-agnostic, being a
 few KB of scalars). This is the natural checkpoint boundary of the algorithm:
 pass two is a pure replay of stored coefficients.
+
+Bit-fidelity caveat: the replay is bit-identical to pass one only when pass
+two runs on the SAME operator layout (same backend, same library version —
+internal slot orderings are not part of the checkpoint format). Across
+layouts/versions the resumed pass two is still a correct reconstruction, but
+agreement is at rounding tolerance rather than bitwise.
 """
 
 from __future__ import annotations

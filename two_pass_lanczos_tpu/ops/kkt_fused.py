@@ -39,10 +39,10 @@ unsorted endpoint loops over all ``p_hi`` rows.
 
 Padding invariants (what keeps the math exact):
 
-* pad slots inside a node's group carry ``d = 0`` and ``eself = eother =``
-  the owning node, so their matvec output is ``x_n[node] − x_n[node] = 0``
-  exactly — they stay zero through every iteration and contribute nothing
-  to the segmented sums;
+* pad/inert slots carry ``d = 0`` and the SENTINEL endpoint ``p_hi·128`` —
+  the node table's zero padding row — so both gather terms are exactly 0,
+  their matvec output is 0, and they stay zero through every iteration,
+  contributing nothing to the segmented sums;
 * inert tail groups have relative node id 512 (outside every 256-window) so
   their row sums are discarded.
 
@@ -78,6 +78,25 @@ VMEM_LIMIT = 128 * 1024 * 1024  # v5e VMEM; the default scoped limit is 16 MB
 
 def _round_up(x: int, mlt: int) -> int:
     return ((x + mlt - 1) // mlt) * mlt
+
+
+def _clamped_window_base(smin, empty, wg, p_hi):
+    """Window bases such that [base, base + wg) covers every real segment
+    and stays inside the (p_hi + 1)-row padded node table; empty
+    (all-sentinel) rows read the zero pad row harmlessly."""
+    hi_base = max(p_hi + 1 - wg, 0)
+    return np.where(empty, hi_base, np.minimum(smin, hi_base))
+
+
+def reclamp_window(ordering: "_Ordering", wg: int, p_hi: int) -> "_Ordering":
+    """Re-clamp an ordering's gather-window bases for a WIDER window ``wg``
+    (>= the ordering's own): used when one kernel program must share a
+    common static width across shards. A wider window still covers every
+    span as long as the base stays <= the span minimum, which clamping
+    downward preserves."""
+    gn3 = ordering.gn3.copy()
+    gn3[..., 1] = np.minimum(gn3[..., 1], max(p_hi + 1 - wg, 0))
+    return dataclasses.replace(ordering, gn3=gn3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,21 +178,20 @@ def _build_ordering(d, key, other, p, dtype, windowed: bool) -> _Ordering:
     # per-group other-endpoint window: rows [base, base + wg) of the node
     # table cover every real eo in the group; base clamped so the window
     # stays inside the (p_hi + 1)-row padded table.
-    seg = (eo >> 7).reshape(r_rows, LANE)
-    realr = mask.reshape(r_rows, LANE)
-    smin = np.where(realr, seg, np.iinfo(np.int32).max).min(axis=1)
-    smax = np.where(realr, seg, -1).max(axis=1)
-    empty = smax < 0
-    spans = np.where(empty, 1, smax - np.where(empty, 0, smin) + 1)
-    wg = int(spans.max()) if r_rows else 1
-    if not windowed or wg >= p_hi:
-        wg = 0  # no structure to exploit: kernels use the full p_hi loop
-        base = np.zeros(r_rows, np.int64)
-    else:
-        # clamp so [base, base + wg) stays inside the (p_hi + 1)-row table;
-        # empty (all-sentinel) rows read the zero pad row harmlessly
-        hi_base = max(p_hi + 1 - wg, 0)
-        base = np.where(empty, hi_base, np.minimum(smin, hi_base))
+    wg = 0  # 0 = no structure to exploit: kernels use the full p_hi loop
+    base = np.zeros(r_rows, np.int64)
+    if windowed:
+        seg = (eo >> 7).reshape(r_rows, LANE)
+        realr = mask.reshape(r_rows, LANE)
+        smin = np.where(realr, seg, np.iinfo(np.int32).max).min(axis=1)
+        smax = np.where(realr, seg, -1).max(axis=1)
+        empty = smax < 0
+        spans = np.where(empty, 1, smax - np.where(empty, 0, smin) + 1)
+        wg = int(spans.max()) if r_rows else 1
+        if wg >= p_hi:
+            wg = 0
+        else:
+            base = _clamped_window_base(smin, empty, wg, p_hi)
     gn3 = np.stack([gnrel.reshape(c_chunks, CHUNK),
                     base.reshape(c_chunks, CHUNK)], axis=-1).astype(np.int32)
 

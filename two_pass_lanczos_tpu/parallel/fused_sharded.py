@@ -102,11 +102,19 @@ class ShardedFusedKKTSolver:
 
         self.wg_u = common_wg(lambda l: l.u)
         self.wg_v = common_wg(lambda l: l.v)
-        for lay in self.layouts:
-            for o, wg in ((lay.u, self.wg_u), (lay.v, self.wg_v)):
-                if wg:
-                    hi_base = max(self.p_hi + 1 - wg, 0)
-                    np.minimum(o.gn3[..., 1], hi_base, out=o.gn3[..., 1])
+        if self.wg_u or self.wg_v:
+            from two_pass_lanczos_tpu.ops.kkt_fused import reclamp_window
+
+            self.layouts = [
+                _dc.replace(
+                    lay,
+                    u=reclamp_window(lay.u, self.wg_u, self.p_hi)
+                    if self.wg_u else lay.u,
+                    v=reclamp_window(lay.v, self.wg_v, self.p_hi)
+                    if self.wg_v else lay.v,
+                )
+                for lay in self.layouts
+            ]
 
         def stack(get):
             return jnp.asarray(np.stack([get(lay) for lay in self.layouts]))
