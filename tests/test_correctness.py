@@ -118,3 +118,44 @@ def test_complex_hermitian_support():
     x = tpl.lanczos_two_pass(op, jnp.asarray(b_np), k, tpl.make_exp_solver())
     rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-10
+
+
+def test_baseline_config1_exp_on_vendored_kkt():
+    """BASELINE config 1: exp(A)b one-pass on a vendored netgen KKT pair
+    (n ~ 1000 size class), k <= 100, f64 CPU — validated against a dense
+    eigendecomposition oracle."""
+    from pathlib import Path
+
+    from two_pass_lanczos_tpu.utils.data_loader import load_kkt_arrays
+
+    d = Path(__file__).resolve().parents[1] / "data" / "1000"
+    dmx = sorted(d.glob("*.dmx"))
+    if not dmx:
+        pytest.skip("no vendored data/1000 instances")
+    arrays = load_kkt_arrays(dmx[0], dmx[0].with_suffix(".qfc"))
+    m, p = arrays.num_arcs, arrays.num_nodes
+    n = arrays.n
+
+    # scale the spectrum so exp() stays in range: A has quad costs up to
+    # ~1e5; use A / ||d||_inf
+    scale = float(np.max(arrays.quad_costs))
+    dsc = arrays.quad_costs / scale
+    op = tpl.make_kkt_operator(dsc, arrays.arc_u, arrays.arc_v, p,
+                               backend="xla", dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n)
+
+    x = np.asarray(tpl.solve_fAb(op, jnp.asarray(b), k=100, f="exp",
+                                 method="one_pass"))
+
+    # dense oracle
+    a = np.zeros((n, n))
+    a[np.arange(m), np.arange(m)] = dsc
+    a[arrays.arc_u + m, np.arange(m)] += 1.0
+    a[arrays.arc_v + m, np.arange(m)] -= 1.0
+    a[np.arange(m), arrays.arc_u + m] += 1.0
+    a[np.arange(m), arrays.arc_v + m] -= 1.0
+    lam, q = np.linalg.eigh(a)
+    x_true = q @ (np.exp(lam) * (q.T @ b))
+    rel = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-6, rel

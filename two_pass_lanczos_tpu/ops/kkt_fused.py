@@ -749,6 +749,11 @@ class FusedKKTSolver:
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  dtype=np.float32, interpret: bool = False,
                  windowed: bool = False):
+        if np.dtype(dtype) != np.float32:
+            raise ValueError(
+                "FusedKKTSolver kernels are f32 (the TPU-native dtype); use "
+                "the generic solve_fAb pipeline for f64 reference semantics "
+                "on CPU.")
         m = len(np.asarray(quad_costs))
         if m > self.MAX_ARCS and not interpret:
             raise ValueError(
