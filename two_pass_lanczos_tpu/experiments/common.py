@@ -55,7 +55,13 @@ def timed_solve(fn, *args, **kwargs):
 
 
 def peak_memory_kb() -> int:
-    """Peak memory: PJRT device peak bytes on accelerators, VmPeak on CPU."""
+    """Peak memory: PJRT device peak bytes on accelerators, VmPeak on CPU.
+
+    Both sources are PROCESS-CUMULATIVE (they never reset), so in-process
+    rows inherit every earlier configuration's peak — per-variant memory
+    fidelity requires the ``--isolate`` orchestrator/worker mode, exactly
+    the reason the reference isolates workers (``tradeoff.rs:4-7``).
+    """
     import jax
 
     from two_pass_lanczos_tpu.utils.perf import device_memory_stats, get_peak_rss_kb
@@ -66,6 +72,43 @@ def peak_memory_kb() -> int:
         if peak:
             return int(peak) // 1024
     return get_peak_rss_kb()
+
+
+def resolve_backend(requested: str) -> str:
+    """'auto' -> the fused VMEM-resident path on TPU, XLA elsewhere."""
+    import jax
+
+    if requested != "auto":
+        return requested
+    return "fused" if jax.default_backend() == "tpu" else "xla"
+
+
+def cpu_dtype():
+    """The CPU experiment dtype: f64 when x64 is enabled, else f32."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return None
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def make_fused_solver(quad_costs, arc_u, arc_v, num_nodes):
+    """FusedKKTSolver for experiments: interpret-mode kernels off-TPU, and
+    ``None`` (caller falls back to the streaming pallas operator) when the
+    instance exceeds the per-chip VMEM budget."""
+    import jax
+
+    from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+    if len(np.asarray(quad_costs)) > FusedKKTSolver.MAX_ARCS:
+        log.warning("instance too large for the VMEM-resident fused solver; "
+                    "falling back to the streaming pallas path")
+        return None
+    return FusedKKTSolver(
+        np.asarray(quad_costs, np.float32), arc_u, arc_v, num_nodes,
+        interpret=jax.default_backend() != "tpu")
 
 
 def write_csv(path, header: Sequence[str], rows: Iterable[Sequence]):

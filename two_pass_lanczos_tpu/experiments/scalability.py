@@ -72,27 +72,23 @@ def main(argv=None) -> int:
 
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
+    from two_pass_lanczos_tpu.experiments.common import (
+        make_fused_solver, resolve_backend,
+    )
+
     with open(args.output, "w", newline="") as fh:
         writer = csv.writer(fh)
         writer.writerow(["variant", "n", "k", "time_s", "rss_kb"])
-        backend = args.backend
-        if backend == "auto":
-            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+        backend = resolve_backend(args.backend)
         for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
             inst = _generate_validated(arcs, args.rho, args.max_retries)
             n = inst.num_arcs + inst.num_nodes
-            use_fused = backend == "fused"
+            solver = None
+            if backend == "fused":
+                solver = make_fused_solver(inst.quad_costs, inst.arc_u,
+                                           inst.arc_v, inst.num_nodes)
+            use_fused = solver is not None
             if use_fused:
-                from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
-
-                if inst.num_arcs > FusedKKTSolver.MAX_ARCS:
-                    log.warning("instance too large for the VMEM-resident "
-                                "fused solver; using the pallas path")
-                    use_fused = False
-            if use_fused:
-                solver = FusedKKTSolver(
-                    np.asarray(inst.quad_costs, np.float32),
-                    inst.arc_u, inst.arc_v, inst.num_nodes)
                 x_true = np.full(n, 1.0 / np.sqrt(n), np.float32)
                 b_fused = solver.matvec(x_true)
             else:

@@ -4,10 +4,11 @@
 Known-solution setup: ``x_true = 1/√n``, ``b = A·x_true``; f = inv; sweep k.
 CSV schema matches ``results/tradeoff_*.csv``: ``variant,k,time_s,rss_kb``.
 
-Process model: by default both variants run in-process (on TPU the memory
-metric is per-run device memory, no isolation needed). ``--isolate``
-reproduces the reference's orchestrator/worker re-exec so that VmPeak
-reflects a single variant (``tradeoff.rs:4-7,142-213``).
+Process model: by default both variants run in-process, in which case the
+``rss_kb`` column is the PROCESS-CUMULATIVE peak (later rows inherit earlier
+configurations' peaks). For per-variant memory fidelity use ``--isolate``,
+which reproduces the reference's orchestrator/worker re-exec
+(``tradeoff.rs:4-7,142-213``).
 """
 
 from __future__ import annotations
@@ -50,73 +51,56 @@ def _load_arrays(args):
     raise SystemExit("provide --dmx/--qfc or --arcs")
 
 
-def _resolve_backend(args):
-    import jax
-
-    if args.backend != "auto":
-        return args.backend
-    # the fused VMEM-resident solver is the production TPU path
-    return "fused" if jax.default_backend() == "tpu" else "xla"
-
-
-def _load_operator(args):
-    import jax
-
-    import two_pass_lanczos_tpu as tpl
-
-    arrays = _load_arrays(args)
-    dtype = None
-    if jax.default_backend() == "cpu":
-        import jax.numpy as jnp
-
-        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-    op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u, arrays.arc_v,
-                               arrays.num_nodes, dtype=dtype,
-                               backend=_resolve_backend(args))
-    return op, arrays.n
-
-
-def _run_variant(args, variant, emit):
+def _build_context(args):
+    """Load the instance once; return a ``solve(k, method)`` closure."""
     import numpy as np
 
     from two_pass_lanczos_tpu.experiments.common import (
-        known_solution_problem, log, peak_memory_kb, timed_solve,
+        cpu_dtype, known_solution_problem, make_fused_solver, resolve_backend,
     )
 
     import two_pass_lanczos_tpu as tpl
 
-    backend = _resolve_backend(args)
-    method = "one_pass" if variant == "standard" else "two_pass"
+    backend = resolve_backend(args.backend)
+    arrays = _load_arrays(args)
 
     if backend == "fused":
-        from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+        solver = make_fused_solver(arrays.quad_costs, arrays.arc_u,
+                                   arrays.arc_v, arrays.num_nodes)
+        if solver is not None:
+            x_true = np.full(arrays.n, 1.0 / np.sqrt(arrays.n), np.float32)
+            b = solver.matvec(x_true)
 
-        arrays = _load_arrays(args)
-        if arrays.num_arcs > FusedKKTSolver.MAX_ARCS:
-            log.warning("instance too large for the VMEM-resident fused "
-                        "solver; falling back to the streaming pallas path")
-            args.backend = "pallas"
-            return _run_variant(args, variant, emit)
-        solver = FusedKKTSolver(
-            np.asarray(arrays.quad_costs, np.float32),
-            arrays.arc_u, arrays.arc_v, arrays.num_nodes)
-        x_true = np.full(arrays.n, 1.0 / np.sqrt(arrays.n), np.float32)
-        b = solver.matvec(x_true)
+            def solve(k, method):
+                x, _ = solver.solve(b, k=k, f="inv", method=method, raw=True)
+                return x
 
-        def solve(k):
-            x, _ = solver.solve(b, k=k, f="inv", method=method, raw=True)
-            return x
-    else:
-        op, n = _load_operator(args)
-        _, b_dev = known_solution_problem(op, n)
+            return solve
+        backend = "pallas"  # VMEM-budget fallback
 
-        def solve(k):
-            return tpl.solve_fAb(op, b_dev, k=k, f="inv", method=method)
+    op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u, arrays.arc_v,
+                               arrays.num_nodes, dtype=cpu_dtype(),
+                               backend=backend)
+    _, b_dev = known_solution_problem(op, arrays.n)
 
+    def solve(k, method):
+        return tpl.solve_fAb(op, b_dev, k=k, f="inv", method=method)
+
+    return solve
+
+
+def _run_variant(args, variant, emit, solve=None):
+    from two_pass_lanczos_tpu.experiments.common import (
+        log, peak_memory_kb, timed_solve,
+    )
+
+    if solve is None:
+        solve = _build_context(args)
+    method = "one_pass" if variant == "standard" else "two_pass"
     for k in range(args.k_start, args.k_end + 1, args.k_step):
         # warm (compile) with a forced readback, then time
-        timed_solve(solve, k)
-        _, dt = timed_solve(solve, k)
+        timed_solve(solve, k, method)
+        _, dt = timed_solve(solve, k, method)
         rss = peak_memory_kb()
         log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
         emit(variant, k, dt, rss)
@@ -146,8 +130,9 @@ def main(argv=None) -> int:
             lambda f: (f[0], int(f[1]), float(f[2]), int(f[3])),
         )
     else:
+        solve = _build_context(args)  # shared: one instance/solver build
         for variant in VARIANTS:
-            _run_variant(args, variant, lambda *f: rows.append(f))
+            _run_variant(args, variant, lambda *f: rows.append(f), solve=solve)
     write_csv(args.output, header, rows)
     return 0
 
@@ -156,7 +141,7 @@ def _reconstruct_argv(args):
     out = ["--output", args.output, "--k-start", str(args.k_start),
            "--k-end", str(args.k_end), "--k-step", str(args.k_step),
            "--backend", args.backend]
-    if args.dmx:
+    if args.dmx and args.qfc:
         out += ["--dmx", args.dmx, "--qfc", args.qfc]
     if args.arcs:
         out += ["--arcs", str(args.arcs), "--rho", str(args.rho),
