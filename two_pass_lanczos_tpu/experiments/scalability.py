@@ -4,12 +4,19 @@ Sweeps the arc count, generating each instance (with validation and up to 5
 seed-rotating retries, reference ``scalability.rs:223-299``), then timing both
 variants. CSV rows are flushed incrementally per record so partial runs
 preserve data (``scalability.rs:198-200``). Schema: ``variant,n,k,time_s,rss_kb``.
+
+Process model: by default everything runs in-process, where ``rss_kb`` is the
+PROCESS-CUMULATIVE peak. ``--isolate`` reproduces the reference's model — one
+worker process per (variant, size) — so each row's peak reflects exactly one
+configuration (``scalability.rs:33,155-207``).
 """
 
 from __future__ import annotations
 
 import argparse
 import csv
+
+MODULE = "two_pass_lanczos_tpu.experiments.scalability"
 
 
 def build_parser():
@@ -24,6 +31,9 @@ def build_parser():
                    default="auto")
     p.add_argument("--cpu-f64", action="store_true")
     p.add_argument("--max-retries", type=int, default=5)
+    p.add_argument("--isolate", action="store_true",
+                   help="one worker process per (variant, size) — per-row "
+                        "peak-memory fidelity")
     return p
 
 
@@ -49,12 +59,64 @@ def _generate_validated(arcs, rho, max_retries):
     raise RuntimeError(f"could not generate a valid {arcs}-arc instance")
 
 
-def main(argv=None) -> int:
+def _build_solve(args, arcs):
+    """Generate + validate one instance; return (n, solve(method) closure)."""
     import numpy as np
 
     from two_pass_lanczos_tpu.experiments.common import (
-        VARIANTS, force_cpu_f64, known_solution_problem, log, peak_memory_kb,
-        setup_logging, timed_solve,
+        cpu_dtype, known_solution_problem, make_fused_solver, resolve_backend,
+    )
+
+    import two_pass_lanczos_tpu as tpl
+
+    backend = resolve_backend(args.backend)
+    inst = _generate_validated(arcs, args.rho, args.max_retries)
+    n = inst.num_arcs + inst.num_nodes
+
+    solver = None
+    if backend == "fused":
+        solver = make_fused_solver(inst.quad_costs, inst.arc_u, inst.arc_v,
+                                   inst.num_nodes)
+    if solver is not None:
+        x_true = np.full(n, 1.0 / np.sqrt(n), np.float32)
+        b = solver.matvec(x_true)
+
+        def solve(method):
+            x, _ = solver.solve(b, k=args.k, f="inv", method=method, raw=True)
+            return x
+
+        return n, solve
+
+    op = tpl.make_kkt_operator(
+        inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
+        dtype=cpu_dtype(),
+        backend="pallas" if backend == "fused" else backend,
+    )
+    _, b_dev = known_solution_problem(op, n)
+
+    def solve(method):
+        return tpl.solve_fAb(op, b_dev, k=args.k, f="inv", method=method)
+
+    return n, solve
+
+
+def _measure(args, variant, solve, n, emit):
+    from two_pass_lanczos_tpu.experiments.common import (
+        log, peak_memory_kb, timed_solve,
+    )
+
+    method = "one_pass" if variant == "standard" else "two_pass"
+    timed_solve(solve, method)  # warm/compile
+    _, dt = timed_solve(solve, method)
+    rss = peak_memory_kb()
+    log.info("%s n=%d k=%d time=%.4fs mem=%dKB", variant, n, args.k, dt, rss)
+    emit(variant, n, args.k, dt, rss)
+
+
+def main(argv=None) -> int:
+    from two_pass_lanczos_tpu.experiments.common import (
+        VARIANTS, emit_row, force_cpu_f64, run_orchestrated, setup_logging,
+        worker_variant,
     )
 
     args = build_parser().parse_args(argv)
@@ -62,60 +124,45 @@ def main(argv=None) -> int:
     if args.cpu_f64:
         force_cpu_f64()
 
-    import jax
-
-    import two_pass_lanczos_tpu as tpl
-
-    dtype = None
-    if jax.default_backend() == "cpu":
-        import jax.numpy as jnp
-
-        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-
-    from two_pass_lanczos_tpu.experiments.common import (
-        make_fused_solver, resolve_backend,
-    )
+    wv = worker_variant()
+    if wv is not None:  # worker: single (variant, size sweep) run on stdout
+        for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
+            n, solve = _build_solve(args, arcs)
+            _measure(args, wv, solve, n, emit_row)
+        return 0
 
     with open(args.output, "w", newline="") as fh:
         writer = csv.writer(fh)
         writer.writerow(["variant", "n", "k", "time_s", "rss_kb"])
-        backend = resolve_backend(args.backend)
-        for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
-            inst = _generate_validated(arcs, args.rho, args.max_retries)
-            n = inst.num_arcs + inst.num_nodes
-            solver = None
-            if backend == "fused":
-                solver = make_fused_solver(inst.quad_costs, inst.arc_u,
-                                           inst.arc_v, inst.num_nodes)
-            use_fused = solver is not None
-            if use_fused:
-                x_true = np.full(n, 1.0 / np.sqrt(n), np.float32)
-                b_fused = solver.matvec(x_true)
-            else:
-                op = tpl.make_kkt_operator(
-                    inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
-                    dtype=dtype,
-                    backend="pallas" if backend == "fused" else backend,
+
+        def emit(*fields):
+            writer.writerow(fields)
+            fh.flush()  # incremental flush per record
+
+        if args.isolate:
+            # one worker per (variant, size): reference process model
+            for arcs in range(args.arcs_start, args.arcs_end + 1,
+                              args.arcs_step):
+                rows = run_orchestrated(
+                    [MODULE, "--arcs-start", str(arcs), "--arcs-end",
+                     str(arcs), "--arcs-step", str(args.arcs_step),
+                     "--k", str(args.k), "--rho", str(args.rho),
+                     "--backend", args.backend, "--output", "/dev/null",
+                     *(["--cpu-f64"] if args.cpu_f64 else [])],
+                    lambda f: (f[0], int(f[1]), int(f[2]), float(f[3]),
+                               int(f[4])),
                 )
-                _, b = known_solution_problem(op, n)
-            for variant in VARIANTS:
-                method = "one_pass" if variant == "standard" else "two_pass"
-                if use_fused:
-                    def solve():
-                        x, _ = solver.solve(b_fused, k=args.k, f="inv",
-                                            method=method, raw=True)
-                        return x
-                else:
-                    def solve():
-                        return tpl.solve_fAb(op, b, k=args.k, f="inv",
-                                             method=method)
-                timed_solve(solve)
-                _, dt = timed_solve(solve)
-                rss = peak_memory_kb()
-                log.info("%s n=%d k=%d time=%.4fs mem=%dKB",
-                         variant, n, args.k, dt, rss)
-                writer.writerow([variant, n, args.k, dt, rss])
-                fh.flush()  # incremental flush per record
+                for r in rows:
+                    emit(*r)
+        else:
+            for arcs in range(args.arcs_start, args.arcs_end + 1,
+                              args.arcs_step):
+                n, solve = _build_solve(args, arcs)
+                for variant in VARIANTS:
+                    _measure(args, variant, solve, n, emit)
+
+    from two_pass_lanczos_tpu.experiments.common import log
+
     log.info("wrote %s", args.output)
     return 0
 
