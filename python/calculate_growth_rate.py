@@ -12,7 +12,6 @@ Usage: calculate_growth_rate.py results/scalability_k500_rho3.csv
 
 import sys
 
-import numpy as np
 import pandas as pd
 from scipy import stats
 

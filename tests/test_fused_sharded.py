@@ -9,7 +9,6 @@ N-device == 1-device to rounding tolerance, and replicated node state.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 import two_pass_lanczos_tpu as tpl

@@ -15,17 +15,14 @@ bit-identical to pass one's implicit basis (reference ``tex/report.tex:492``;
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from two_pass_lanczos_tpu.algorithms.core import (
-    LanczosCarry,
     LanczosDecomposition,
     breakdown_tolerance,
-    init_carry,
-    l2_norm,
     pass_one_scan,
 )
 from two_pass_lanczos_tpu.operators import LinearOperator

@@ -27,7 +27,6 @@ from typing import Callable, Optional
 import numpy as np
 
 from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition
-from two_pass_lanczos_tpu.ops.tridiag import assemble_tridiagonal
 
 __all__ = [
     "replay_iterations",

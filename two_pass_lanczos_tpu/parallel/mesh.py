@@ -10,7 +10,7 @@ DCN across slices.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

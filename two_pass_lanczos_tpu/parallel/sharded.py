@@ -22,8 +22,7 @@ count — the same guarantee the reference offers on one thread.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
