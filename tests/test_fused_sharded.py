@@ -72,6 +72,20 @@ class TestShardedFused:
         np.testing.assert_array_equal(x, 0.0)
 
 
+@pytest.mark.parametrize("ndev", [2, 3, 5])
+def test_mesh_sizes_consistent(rng, ndev):
+    """N-device results agree with 1-device to rounding tolerance across
+    uneven mesh sizes (SURVEY §4's multi-node testing strategy)."""
+    d, u, v, p = _random_kkt(rng, m=1500, p=150)
+    b = rng.standard_normal(len(d) + p).astype(np.float32)
+    sn = ShardedFusedKKTSolver(d, u, v, p, make_mesh(ndev), interpret=True)
+    xn_, _ = sn.solve(b, k=12, f="inv")
+    s1 = FusedKKTSolver(d, u, v, p, interpret=True)
+    x1, _ = s1.solve(b, k=12, f="inv")
+    rel = np.linalg.norm(xn_ - x1) / np.linalg.norm(x1)
+    assert rel < 1e-4, rel
+
+
 def test_mesh_of_one_is_the_streaming_single_chip_path(rng):
     """ShardedFusedKKTSolver over a 1-device mesh = the large-instance
     single-chip solver (grid-blocked streaming matvec, no VMEM size cap);
