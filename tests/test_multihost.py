@@ -1,0 +1,64 @@
+"""Multi-host (multi-process jax.distributed) smoke of the fused sharded
+solver: two OS processes x 4 virtual CPU devices = one 8-device global mesh
+spanning process boundaries. This is the strategy SURVEY §4 prescribes for
+the capability the reference cannot test (it is single-threaded), and the
+off-pod realization of BASELINE config 5 (N >= 2 hosts).
+
+The subprocesses run scripts/multihost_smoke.py; the oracle ||b|| comes from
+an in-process computation on the identical seeded instance.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_solve():
+    # oracle: same seeded instance as the smoke script
+    rng = np.random.default_rng(11)
+    m, p = 4000, 300
+    rng.integers(0, p, m)
+    rng.integers(0, p - 1, m)
+    rng.uniform(1.0, 3.0, m)
+    b = rng.standard_normal(m + p).astype(np.float32)
+    # the fused dot counts each arc once + nodes once = plain ||b||
+    bnorm = float(np.linalg.norm(b.astype(np.float64)))
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "scripts" / "multihost_smoke.py"),
+             "--num-processes", "2", "--process-id", str(pid),
+             "--coordinator", f"localhost:{port}",
+             "--expect-bnorm", repr(bnorm)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+            env={**os.environ,
+                 "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}"}))
+    outs = []
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            pytest.fail("multihost smoke timed out")
+        outs.append((pr.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-2000:]}"
+    assert any("MULTIHOST_OK" in out for _, out, _ in outs)

@@ -116,19 +116,26 @@ class ShardedFusedKKTSolver:
                 for lay in self.layouts
             ]
 
-        def stack(get):
-            return jnp.asarray(np.stack([get(lay) for lay in self.layouts]))
+        def put(global_np, spec):
+            # make_array_from_callback builds the array from each process's
+            # ADDRESSABLE shards only, so the same code runs single-process
+            # and multi-host (each host materializes just its slice).
+            sharding = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                global_np.shape, sharding, lambda idx: global_np[idx])
 
-        blk = NamedSharding(mesh, P(axis))
-        put = lambda a: jax.device_put(a, blk)
-        self._arrs = tuple(put(stack(g)) for g in (
+        def stack(get):
+            return np.stack([get(lay) for lay in self.layouts])
+
+        self._arrs = tuple(put(stack(g), P(axis)) for g in (
             lambda l: l.u.d2, lambda l: l.u.es2, lambda l: l.u.eo2,
             lambda l: l.u.gn3,
             lambda l: l.v.d2, lambda l: l.v.es2, lambda l: l.v.eo2,
             lambda l: l.v.gn3,
         ))
-        self._wins = (put(stack(lambda l: l.u.win)),
-                      put(stack(lambda l: l.v.win)))
+        self._wins = (put(stack(lambda l: l.u.win), P(axis)),
+                      put(stack(lambda l: l.v.win), P(axis)))
+        self._put = put
         self._solve_cache = {}
 
     # ------------------------------------------------------------------
@@ -143,11 +150,8 @@ class ShardedFusedKKTSolver:
             xv[d].reshape(-1)[lay.v.pos] = vals
         xn = np.zeros((self.P2, LANE), np.float32)
         xn.reshape(-1)[: self.p] = b[self.m:]
-        sh = NamedSharding(self.mesh, P(self.axis))
-        rep = NamedSharding(self.mesh, P())
-        return (jax.device_put(jnp.asarray(xu), sh),
-                jax.device_put(jnp.asarray(xv), sh),
-                jax.device_put(jnp.asarray(xn), rep))
+        return (self._put(xu, P(self.axis)), self._put(xv, P(self.axis)),
+                self._put(xn, P()))
 
     def unpack(self, xu, xn) -> np.ndarray:
         xu = np.asarray(xu)
@@ -282,14 +286,21 @@ class ShardedFusedKKTSolver:
         return self._solve_cache[key]
 
     # ------------------------------------------------------------------
-    def solve(self, b, *, k: int, f="inv", method: str = "two_pass"):
+    def solve(self, b, *, k: int, f="inv", method: str = "two_pass",
+              raw: bool = False):
         """Distributed two-pass f(A)·b. Returns ``(x, decomposition)`` with
-        ``x`` a NumPy (n,) array in the original ordering."""
+        ``x`` a NumPy (n,) array in the original ordering, or — with
+        ``raw=True`` — the device pair ``(xu (D,R,128) sharded, xn (P2,128)
+        replicated)``. Multi-host runs must use ``raw=True`` (the unpacked
+        form requires every shard to be process-addressable); the
+        decomposition is replicated and therefore host-readable everywhere."""
         bu, bv, bn = self.pack(b)
         xu, xn, alphas, betas, steps, b_norm = self._solver(k, f, method)(
             self._arrs + self._wins, bu, bv, bn)
         decomp = LanczosDecomposition(
             alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
+        if raw:
+            return (xu, xn), decomp
         return self.unpack(xu, xn), decomp
 
     def matvec(self, x) -> np.ndarray:
