@@ -241,3 +241,36 @@ class TestWindowedGather:
         x1, _ = s1.solve(b, k=15, f="inv")
         rel = np.linalg.norm(x8 - x1) / np.linalg.norm(x1)
         assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("case", [
+    # (m, p, maker) — degenerate and edge-case topologies
+    ("tiny", 3, 2),
+    ("single_arc", 1, 2),
+    ("p_lane_aligned", 300, 256),
+    ("p_one_segment", 200, 100),
+    ("all_arcs_one_pair", 400, 50),
+    ("hub_and_spokes", 600, 130),
+    ("m_less_than_p", 64, 500),
+], ids=lambda c: c[0])
+def test_fused_matvec_fuzz(case, rng):
+    """Edge-case layout fuzz: the fused matvec must match the XLA oracle on
+    degenerate topologies (tiny m, single arcs, lane-aligned p, hubs,
+    m < p, repeated endpoint pairs)."""
+    name, m, p = case
+    if name == "all_arcs_one_pair":
+        u = np.zeros(m, np.int32)
+        v = np.ones(m, np.int32)
+    elif name == "hub_and_spokes":
+        u = np.zeros(m, np.int32)
+        v = (1 + rng.integers(0, p - 1, m)).astype(np.int32)
+    else:
+        u = rng.integers(0, p, m).astype(np.int32)
+        v = ((u + 1 + rng.integers(0, max(p - 1, 1), m)) % p).astype(np.int32)
+    d = rng.uniform(0.5, 5.0, m).astype(np.float32)
+    s = FusedKKTSolver(d, u, v, p, interpret=True)
+    x = rng.standard_normal(m + p).astype(np.float32)
+    y = s.matvec(x)
+    y_ref = np.asarray(_xla_op(d, u, v, p).matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=0,
+                               atol=2e-5 * max(np.abs(y_ref).max(), 1.0))
