@@ -108,3 +108,43 @@ def test_parameter_mismatch_from_bad_solver():
         tpl.lanczos(op, b, 4, lambda a, bb: np.ones(99))
     with pytest.raises(tpl.SolverError):
         tpl.lanczos(op, b, 4, lambda a, bb: 1 / 0)
+
+
+def test_small_norm_b_is_not_rejected():
+    """A valid small-norm b (f32 norm ~1e-5) must solve, not be treated as
+    zero: the zero-vector threshold sits near the underflow boundary, not at
+    1000·eps of the dtype (which would be 1.2e-4 absolute in f32)."""
+    import two_pass_lanczos_tpu as tpl
+
+    diag = jnp.arange(1.0, 65.0, dtype=jnp.float32)
+    op = tpl.DiagonalOperator(diag)
+    b = (np.full(64, 1e-6, np.float32) * (1 + np.arange(64) % 3))
+    x = tpl.solve_fAb(op, jnp.asarray(b), k=40, f="inv", method="two_pass")
+    x_true = b / np.asarray(diag)
+    rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-3, rel
+    # and the genuinely-zero vector still raises via the host API
+    import pytest as _pytest
+    with _pytest.raises(tpl.InputError):
+        tpl.lanczos_two_pass(op, jnp.zeros(64, jnp.float32), 5,
+                             tpl.make_inv_solver())
+
+
+def test_pass_two_basis_zero_beyond_steps():
+    """Regenerated-basis rows past steps_taken are zero, matching the
+    pass-one basis convention (breakdown case)."""
+    import two_pass_lanczos_tpu as tpl
+    from two_pass_lanczos_tpu.algorithms.core import pass_one_scan
+    from two_pass_lanczos_tpu.algorithms.two_pass import (
+        lanczos_pass_two_with_basis)
+
+    op = tpl.DiagonalOperator(jnp.asarray([2.0, 3.0]))
+    b = jnp.asarray([1.0, 0.0])  # invariant 1-D subspace -> breakdown at 1
+    k = 6
+    decomp, basis1 = pass_one_scan(op.matvec, b, k, emit_basis=True)
+    steps = int(decomp.steps_taken)
+    assert steps == 1
+    y = jnp.zeros((k,))
+    _, basis2 = lanczos_pass_two_with_basis(op, b, decomp, y)
+    np.testing.assert_array_equal(np.asarray(basis1)[steps:], 0.0)
+    np.testing.assert_array_equal(np.asarray(basis2)[steps:], 0.0)

@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "breakdown_tolerance",
+    "zero_tolerance",
     "LanczosDecomposition",
     "LanczosCarry",
     "lanczos_recurrence_step",
@@ -52,6 +53,20 @@ def breakdown_tolerance(dtype) -> float:
     """
     real = jnp.finfo(dtype).dtype  # finfo of complex dtype reports real eps
     return float(np.finfo(real).eps) * 1000.0
+
+
+def zero_tolerance(dtype) -> float:
+    """Threshold below which ``b`` is treated as the zero vector.
+
+    Deliberately near the underflow boundary (1000x the smallest normal of
+    the real dtype) rather than 1000·ε: an absolute ε-based cut would reject
+    perfectly valid small-norm inputs in f32/bf16 (1000·ε_bf16 ≈ 7.8!), while
+    v₁ = b/‖b‖ is well-defined for any normal-range norm. For f64 both
+    thresholds accept/reject the same practical inputs as the reference's
+    check (``src/algorithms/mod.rs:270-276``).
+    """
+    real = jnp.finfo(dtype).dtype
+    return float(np.finfo(real).tiny) * 1000.0
 
 
 def _real_dtype(dtype):
@@ -140,15 +155,17 @@ class LanczosCarry(NamedTuple):
     steps: jax.Array  # int32 scalar
 
 
-def init_carry(b: jax.Array, b_norm: jax.Array, tol: float) -> LanczosCarry:
+def init_carry(b: jax.Array, b_norm: jax.Array, tol: float = None) -> LanczosCarry:
     """Initial state: v₁ = b·(1/‖b‖), v₀ = 0, β₀ = 0.
 
-    A zero input (‖b‖ ≤ tol) starts the scan in the ``done`` state so that
-    ``steps_taken == 0`` — the jit-safe encoding of the reference's
-    ``InputError`` (``src/algorithms/mod.rs:270-276``); host-level APIs
-    convert it back to an exception.
+    A zero input (‖b‖ ≤ zero_tolerance) starts the scan in the ``done``
+    state so that ``steps_taken == 0`` — the jit-safe encoding of the
+    reference's ``InputError`` (``src/algorithms/mod.rs:270-276``);
+    host-level APIs convert it back to an exception.
     """
     rdt = _real_dtype(b.dtype)
+    if tol is None:
+        tol = zero_tolerance(b.dtype)
     zero_b = b_norm <= jnp.asarray(tol, rdt)
     inv_norm = jnp.where(zero_b, jnp.zeros((), rdt), 1.0 / b_norm)
     v1 = b * inv_norm.astype(b.dtype)
@@ -209,7 +226,7 @@ def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool, reduce_sum=
     tol = breakdown_tolerance(b.dtype)
     rdt = _real_dtype(b.dtype)
     b_norm = l2_norm(b, reduce_sum)
-    carry0 = init_carry(b, b_norm, tol)
+    carry0 = init_carry(b, b_norm, zero_tolerance(b.dtype))
 
     def step(carry: LanczosCarry, _):
         executed = jnp.logical_not(carry.done)

@@ -105,7 +105,10 @@ def _reconstruction_scan(
 
         v_prev_n = jnp.where(active, v_curr, v_prev)
         v_curr_n = jnp.where(active, v_next, v_curr)
-        out = v_curr_n if emit_basis else None
+        # emitted rows beyond steps_taken are zero, matching the pass-one
+        # basis convention (core.pass_one_scan)
+        out = jnp.where(active, v_next, jnp.zeros_like(v_next)) \
+            if emit_basis else None
         return (v_prev_n, v_curr_n, x_acc), out
 
     carry0 = (jnp.zeros_like(b), v1, x0)

@@ -49,12 +49,10 @@ def make_inv_solver() -> Callable:
     jittable, including for the indefinite ill-conditioned spectra.
     """
 
+    from two_pass_lanczos_tpu.ops.tridiag import tridiagonal_solve_e1
+
     def solver(alphas, betas):
-        alphas = jnp.asarray(alphas)
-        betas = jnp.asarray(betas)
-        t = assemble_tridiagonal(alphas, betas)
-        e1 = jnp.zeros((t.shape[0],), t.dtype).at[0].set(1.0)
-        return jnp.linalg.solve(t, e1)
+        return tridiagonal_solve_e1(jnp.asarray(alphas), jnp.asarray(betas))
 
     return solver
 
@@ -71,9 +69,10 @@ def make_function_solver(f: Callable) -> Callable:
     """Generic ``f(T_k)e₁`` for any scalar function ``f`` applied to the
     spectrum, via the symmetric eigendecomposition of T_k."""
 
+    from two_pass_lanczos_tpu.ops.tridiag import eigh_tridiagonal
+
     def solver(alphas, betas):
-        t = assemble_tridiagonal(jnp.asarray(alphas), jnp.asarray(betas))
-        lam, q = jnp.linalg.eigh(t)
+        lam, q = eigh_tridiagonal(jnp.asarray(alphas), jnp.asarray(betas))
         # f(T) e1 = Q f(Λ) Qᵀ e1 — only the first row of Q is needed.
         return q @ (f(lam) * q[0, :])
 

@@ -66,6 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosDecomposition,
     breakdown_tolerance,
+    zero_tolerance,
 )
 from two_pass_lanczos_tpu.functions import padded_f_e1
 
@@ -419,12 +420,12 @@ def _pass_one_kernel(
     alphas, betas, bnorm, steps_out,
     # scratch
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
-    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
 ):
     nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
     b_norm = jnp.sqrt(nb2)
     bnorm[0] = b_norm
-    zero_b = b_norm <= tol
+    zero_b = b_norm <= ztol
     inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
     vcu[:] = bu[:] * inv_n
     vcv[:] = bv[:] * inv_n
@@ -483,7 +484,7 @@ def _pass_one_basis_kernel(
     alphas, betas, bnorm, steps_out, basis_u, basis_n,
     # scratch
     su, sv, sn, sem_u, sem_n,
-    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
 ):
     """Pass one + per-step DMA of v_{j+1} (u copy + node block) to HBM.
 
@@ -504,7 +505,7 @@ def _pass_one_basis_kernel(
     nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
     b_norm = jnp.sqrt(nb2)
     bnorm[0] = b_norm
-    zero_b = b_norm <= tol
+    zero_b = b_norm <= ztol
     inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
     vcu[:] = bu[:] * inv_n
     vcv[:] = bv[:] * inv_n
@@ -572,11 +573,11 @@ def _pass_two_kernel(
     xu, xn,
     # scratch
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
-    *, k, p_hi, c_chunks, tol, wg_u, wg_v,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
 ):
     b_norm = bnorm[0]
     steps = steps_in[0]
-    inv_n = jnp.where(b_norm <= tol, 0.0, 1.0 / b_norm)
+    inv_n = jnp.where(b_norm <= ztol, 0.0, 1.0 / b_norm)
     vcu[:] = bu[:] * inv_n
     vcv[:] = bv[:] * inv_n
     vcn[:] = bn[:] * inv_n
@@ -776,6 +777,7 @@ class FusedKKTSolver:
         ))
         self._wins = (as_dev(lay.u.win), as_dev(lay.v.win))
         self.tol = float(breakdown_tolerance(jnp.dtype(lay.dtype)))
+        self.ztol = float(zero_tolerance(jnp.dtype(lay.dtype)))
 
     # -- shared pallas_call scaffolding --
     def _common_specs(self):
@@ -842,7 +844,8 @@ class FusedKKTSolver:
         vm, sm = self._common_specs()
         kern = functools.partial(
             _pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
+            tol=self.tol, ztol=self.ztol,
+            wg_u=lay.u.wg, wg_v=lay.v.wg)
         alphas, betas, bnorm, steps = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -869,7 +872,8 @@ class FusedKKTSolver:
         hbm = pl.BlockSpec(memory_space=pltpu.ANY)
         kern = functools.partial(
             _pass_one_basis_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
+            tol=self.tol, ztol=self.ztol,
+            wg_u=lay.u.wg, wg_v=lay.v.wg)
         alphas, betas, bnorm, steps, basis_u, basis_n = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -904,7 +908,8 @@ class FusedKKTSolver:
         vm, sm = self._common_specs()
         kern = functools.partial(
             _pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
-            tol=self.tol, wg_u=lay.u.wg, wg_v=lay.v.wg)
+            tol=self.tol, ztol=self.ztol,
+            wg_u=lay.u.wg, wg_v=lay.v.wg)
         xu, xn = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm] * 7,

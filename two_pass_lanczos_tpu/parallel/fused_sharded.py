@@ -41,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosDecomposition,
     breakdown_tolerance,
+    zero_tolerance,
 )
 from two_pass_lanczos_tpu.functions import padded_f_e1
 from two_pass_lanczos_tpu.ops.kkt_fused import (
@@ -91,6 +92,7 @@ class ShardedFusedKKTSolver:
         self.R, self.C = r, r // 128
         self.p_hi, self.P2 = lay0.p_hi, lay0.P2
         self.tol = float(breakdown_tolerance(jnp.float32))
+        self.ztol = float(zero_tolerance(jnp.float32))
 
         # the kernel is one program across the mesh, so the windowed-gather
         # width must be common: take the max over shards and re-clamp each
@@ -174,7 +176,7 @@ class ShardedFusedKKTSolver:
             interpret=self.interpret)
 
     def _build_solve(self, k: int, f, method: str):
-        axis, tol = self.axis, self.tol
+        axis, tol, ztol = self.axis, self.tol, self.ztol
 
         def run(arrs_and_wins, bu, bv, bn):
             arrs, wins = arrs_and_wins[:8], arrs_and_wins[8:]
@@ -196,7 +198,7 @@ class ShardedFusedKKTSolver:
 
             nb2 = dot(bu, bn, bu, bn)
             b_norm = jnp.sqrt(nb2)
-            zero_b = b_norm <= tol
+            zero_b = b_norm <= ztol
             inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
             v1 = (bu * inv_n, bv * inv_n, bn * inv_n)
             zeros = tuple(jnp.zeros_like(c) for c in v1)

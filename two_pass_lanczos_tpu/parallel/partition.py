@@ -87,7 +87,9 @@ def build_local_blocks(rows, cols, vals, part: RowPartition, pad_multiple: int =
       all-gathered vector directly);
     * ``local_vals`` — values, zero-padded.
 
-    Padding entries target local row 0 / column 0 with value 0.
+    Padding entries target the LAST local row / column 0 with value 0 —
+    the tail must keep ``local_rows`` ascending because the scatter-add in
+    the sharded matvec promises ``indices_are_sorted=True``.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -104,7 +106,7 @@ def build_local_blocks(rows, cols, vals, part: RowPartition, pad_multiple: int =
     max_nnz = int(counts.max()) if counts.size else 1
     max_nnz = max(((max_nnz + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
 
-    lr = np.zeros((part.ndev, max_nnz), dtype=np.int32)
+    lr = np.full((part.ndev, max_nnz), part.rows_per - 1, dtype=np.int32)
     lc = np.zeros((part.ndev, max_nnz), dtype=np.int32)
     lv = np.zeros((part.ndev, max_nnz), dtype=vals.dtype)
     starts = np.concatenate([[0], np.cumsum(counts)])

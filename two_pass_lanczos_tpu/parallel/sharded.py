@@ -159,13 +159,14 @@ class ShardedSparseOperator:
                 x_local, _ = _reconstruction_scan(
                     matvec, b_local, decomp, y, emit_basis=False
                 )
-            return x_local, decomp.alphas, decomp.betas, decomp.steps_taken
+            return (x_local, decomp.alphas, decomp.betas,
+                    decomp.steps_taken, decomp.b_norm)
 
         shmapped = jax.shard_map(
             run,
             mesh=self.mesh,
             in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-            out_specs=(P(axis), P(), P(), P()),
+            out_specs=(P(axis), P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(shmapped)
@@ -183,12 +184,13 @@ class ShardedSparseOperator:
         (α, β, steps) are replica-identical device arrays.
         """
         b_local = self._prepare_b(b)
-        x_perm, alphas, betas, steps = self._solver(k, f, method)(
+        x_perm, alphas, betas, steps, b_norm = self._solver(k, f, method)(
             self.local_rows, self.local_cols, self.local_vals, b_local
         )
+        # b_norm is the device-side psum norm that actually scaled x — the
+        # returned decomposition replays bit-consistently with the result
         decomp = LanczosDecomposition(
-            alphas=alphas, betas=betas, steps_taken=steps,
-            b_norm=jnp.asarray(np.linalg.norm(np.asarray(b)), alphas.dtype),
+            alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm,
         )
         return self._restore_x(x_perm), decomp
 
@@ -197,17 +199,22 @@ class ShardedSparseOperator:
         """One distributed SpMV (for tests/benchmarks); original order in/out."""
         axis, rows_per = self.axis, self.part.rows_per
 
-        def run(lr, lc, lv, x_local):
-            return _local_matvec(lr[0], lc[0], lv[0], x_local, axis, rows_per)
+        if "matvec" not in self._solve_cache:  # compile once, reuse per call
 
-        fn = jax.jit(
-            jax.shard_map(
-                run,
-                mesh=self.mesh,
-                in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-                out_specs=P(axis),
-                check_vma=False,
+            def run(lr, lc, lv, x_local):
+                return _local_matvec(lr[0], lc[0], lv[0], x_local, axis, rows_per)
+
+            self._solve_cache["matvec"] = jax.jit(
+                jax.shard_map(
+                    run,
+                    mesh=self.mesh,
+                    in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                              P(axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
             )
-        )
-        y = fn(self.local_rows, self.local_cols, self.local_vals, self._prepare_b(x))
+        y = self._solve_cache["matvec"](
+            self.local_rows, self.local_cols, self.local_vals,
+            self._prepare_b(x))
         return self._restore_x(y)

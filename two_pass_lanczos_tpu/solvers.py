@@ -29,8 +29,8 @@ import numpy as np
 
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosDecomposition,
-    breakdown_tolerance,
     pass_one_scan,
+    zero_tolerance,
 )
 from two_pass_lanczos_tpu.algorithms.two_pass import (
     lanczos_pass_two,
@@ -79,8 +79,7 @@ def _run_f_solver(f_tk_solver, decomp: LanczosDecomposition):
 
 
 def _check_zero_b(decomp: LanczosDecomposition, b):
-    tol = breakdown_tolerance(b.dtype)
-    if float(decomp.b_norm) <= tol:
+    if float(decomp.b_norm) <= zero_tolerance(b.dtype):
         raise InputError("Input vector `b` must not be a zero vector.")
 
 
@@ -100,8 +99,8 @@ def lanczos(
     decomp, v_k = _pass_one_jit(operator, b, k, True)
     _check_zero_b(decomp, b)
     steps = decomp.steps()
-    if steps == 0:
-        return jnp.zeros_like(b)
+    if steps == 0:  # defensive; unreachable after _check_zero_b
+        return jnp.zeros_like(b)  # reference parity: solvers.rs:64-66
     y = _run_f_solver(f_tk_solver, decomp)
     # Pad y to the static length k; rows of v_k beyond `steps` are zero.
     y_full = np.zeros((k,), dtype=np.asarray(y).dtype)
