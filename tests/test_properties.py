@@ -114,3 +114,16 @@ def test_property_on_downloaded_instance(name, dmx, qfc, prop):
     b = seeded_b(sys.n)
     report = prop(sys.operator, b, DEFAULT_K, DEFAULT_TOL)
     assert report.passed, f"{name}: {report.name} = {report.value:.3e}"
+
+
+def test_harness_handles_early_breakdown():
+    """The property harness must run (not crash) when Lanczos breaks down
+    before k steps — e.g. an operator smaller than the default k."""
+    import jax.numpy as jnp
+
+    from two_pass_lanczos_tpu.testing import run_all_properties
+    from two_pass_lanczos_tpu.operators import DiagonalOperator
+
+    op = DiagonalOperator(jnp.arange(1.0, 6.0))  # n=5 << k=30
+    reports = run_all_properties(op)
+    assert all(r.passed for r in reports), [str(r) for r in reports]

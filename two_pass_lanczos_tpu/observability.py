@@ -140,7 +140,7 @@ def kkt_spmv_sol(
     """Speed-of-light bound for the structure-aware KKT matvec.
 
     Minimum HBM traffic per matvec: the five per-arc streams
-    (d, u, v, x_a read + y_a write = 4B·3 + value bytes·2) plus the node
+    (u, v int32 reads = 4B·2; d, x_a reads + y_a write = value bytes·3) plus the node
     vector in/out (negligible). Index arrays are int32.
     """
     per_arc = 2 * 4 + 3 * dtype_bytes  # u, v int32 + d, x_a, y_a values

@@ -113,7 +113,9 @@ def csr_from_triplets(
 
     nnz = int(rows.size)
     padded = max(_round_up(max(nnz, 1), pad_to), pad_to)
-    pr = np.zeros(padded, dtype=np.int32)
+    # pad entries target the LAST row (value 0): the tail must keep `rows`
+    # ascending because coo_spmv promises indices_are_sorted=True
+    pr = np.full(padded, n_rows - 1, dtype=np.int32)
     pc = np.zeros(padded, dtype=np.int32)
     pv = np.zeros(padded, dtype=vals.dtype if vals.size else np.float64)
     pr[:nnz] = rows

@@ -76,7 +76,7 @@ def check_lanczos_relation(operator, b, k=DEFAULT_K, tol=DEFAULT_TOL):
     """
     decomp, v_all = tpl.lanczos_standard(operator, b, k + 1)
     steps = decomp.steps()
-    kk = min(k, steps - 1) if steps > k else k
+    kk = k  # steps < k (early breakdown) leaves zero-padded columns, checked below
     if steps <= 1:
         return PropertyReport("lanczos_relation", 0.0, tol)
     v = np.asarray(v_all)  # (k+1, n), rows are v_1..v_{k+1}
@@ -109,7 +109,7 @@ def check_reconstruction_stability(operator, b, k=DEFAULT_K, tol=DEFAULT_TOL):
     decomp, v = tpl.lanczos_standard(operator, b, k)
     s = decomp.steps()
     # dummy y (the reference uses ones — orthogonality.rs:190-197)
-    y = jnp.ones((s,), dtype=b.dtype)
+    y = jnp.ones((decomp.k_max,), dtype=b.dtype)
     from two_pass_lanczos_tpu.algorithms.two_pass import lanczos_pass_two_with_basis
 
     _, v_regen = lanczos_pass_two_with_basis(operator, b, decomp, y)

@@ -68,8 +68,15 @@ class Timer:
         return self
 
     def block_on(self, *arrays):
+        # force a host readback of a scalar reduction per array:
+        # block_until_ready is unreliable on tunneled devices (it can return
+        # before the device work completes), so timing must consume a value
+        import jax.numpy as jnp
+
         for a in arrays:
-            jax.block_until_ready(a)
+            leaves = jax.tree_util.tree_leaves(a)
+            for leaf in leaves:
+                float(jnp.sum(jnp.abs(jnp.ravel(leaf)[:8])))
 
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self.start
