@@ -50,8 +50,9 @@ extern "C" {
 
 // Returns 0 on success; positive validation codes as documented above;
 // -1 on I/O failure, -2 on allocation failure.
-int64_t tpl_parse_dmx(const char* path, int64_t* num_nodes_out,
-                      int64_t* num_arcs_out, int32_t** u_out, int32_t** v_out) {
+static int64_t tpl_parse_dmx_impl(const char* path, int64_t* num_nodes_out,
+                                  int64_t* num_arcs_out, int32_t** u_out,
+                                  int32_t** v_out) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
@@ -129,5 +130,17 @@ int64_t tpl_parse_dmx(const char* path, int64_t* num_nodes_out,
 }
 
 void tpl_free(void* p) { free(p); }
+
+// C++ exceptions (e.g. std::bad_alloc from a hostile arc count) must not
+// unwind across the ctypes boundary: catch everything and return the
+// documented allocation-failure code.
+int64_t tpl_parse_dmx(const char* path, int64_t* num_nodes_out,
+                      int64_t* num_arcs_out, int32_t** u_out, int32_t** v_out) {
+  try {
+    return tpl_parse_dmx_impl(path, num_nodes_out, num_arcs_out, u_out, v_out);
+  } catch (...) {
+    return -2;
+  }
+}
 
 }  // extern "C"

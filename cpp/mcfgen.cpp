@@ -156,7 +156,8 @@ int write_dimacs(FILE* out, const NetParams& p, Rng& rng,
   buf.reserve(1 << 22);
   char line[96];
   const int64_t cap_lo = p.mincap > 0 ? p.mincap : 1;
-  const int64_t cap_hi = p.maxcap > cap_lo ? p.maxcap : cap_lo + 1;
+  // honor fixed-capacity presets exactly (mincap == maxcap is legal)
+  const int64_t cap_hi = p.maxcap >= cap_lo ? p.maxcap : cap_lo;
   for (int64_t j = 0; j < m; ++j) {
     int64_t b_cost = rng.uniform_int(p.mincost, p.maxcost);
     int64_t cap = rng.uniform_int(cap_lo, cap_hi);
@@ -381,6 +382,11 @@ int mode_combined(int argc, char** argv) {
             p.nodes - 1);
     return 1;
   }
+  // stage-equivalence: the combined path must emit byte-identical files to
+  // `pargen | netgen | qfcgen`, so reseed exactly as those modes do
+  p.seed = p.seed % 2000000000ULL;
+  Rng rng_net(p.seed ? p.seed : 1);
+  Rng rng_qfc(seed_of(m, rho, iid) ^ 0x9fc);
 
   char base[256];
   snprintf(base, sizeof(base), "netgen-%" PRId64 "-%d-%" PRId64 "-%c-%c-%s", m,
@@ -397,9 +403,9 @@ int mode_combined(int argc, char** argv) {
   }
   std::vector<int32_t> au, av;
   std::vector<int64_t> bc;
-  if (write_dimacs(dmx, p, rng, &au, &av, &bc)) return 1;
+  if (write_dimacs(dmx, p, rng_net, &au, &av, &bc)) return 1;
   fclose(dmx);
-  write_qfc(qfc, bc, cf, cq, rng);
+  write_qfc(qfc, bc, cf, cq, rng_qfc);
   fclose(qfc);
   printf("%s\n", base);
   return 0;

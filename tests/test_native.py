@@ -154,3 +154,42 @@ def test_mcfgen_netgen_accepts_reference_presets(native_build, tmp_path):
     head = proc.stdout.splitlines()
     assert any(ln.startswith("p min 1024 32768") for ln in head[:3])
     assert sum(1 for ln in head if ln.startswith("a ")) == 32768
+
+
+def test_mcfgen_stage_equivalence(native_build, tmp_path):
+    """The combined command and the three-stage pipeline emit byte-identical
+    files for identical parameters (both are keyed by the same filename)."""
+    mcfgen = native_build / "mcfgen"
+    run = lambda args, **kw: subprocess.run(
+        args, cwd=tmp_path, capture_output=True, text=True, check=True, **kw)
+    base = "netgen-2000-2-5-b-a-s"
+    run([str(mcfgen), "2000", "2", "5", "b", "a", "s", "combined"])
+    run([str(mcfgen), "pargen", "2000", "2", "5", "b", "a", "s"])
+    with open(tmp_path / f"{base}.par") as fin, \
+            open(tmp_path / f"{base}.dmx", "w") as fout:
+        subprocess.run([str(mcfgen), "netgen"], stdin=fin, stdout=fout,
+                       cwd=tmp_path, check=True)
+    run([str(mcfgen), "qfcgen", f"{base}.dmx"])
+    for ext in (".dmx", ".qfc"):
+        a = (tmp_path / "combined" / f"{base}{ext}").read_bytes()
+        b = (tmp_path / f"{base}{ext}").read_bytes()
+        assert a == b, f"stage/combined mismatch in {ext}"
+
+
+def test_native_parser_survives_hostile_arc_count(native_build, tmp_path):
+    """A hostile declared arc count must not abort the Python process (C++
+    exceptions, e.g. bad_alloc from vector.reserve, must not cross the
+    ctypes boundary): the loader falls back to the Python parser, which
+    recovers the real arcs with a count-mismatch warning."""
+    import warnings
+
+    import two_pass_lanczos_tpu.utils.data_loader as dl
+
+    bad = tmp_path / "bad.dmx"
+    bad.write_text("p min 5 99999999999999999\na 1 2 0 1 1\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        nodes, arcs, u, v = dl.parse_dmx(bad)
+    assert (nodes, arcs) == (5, 1)
+    assert u.tolist() == [0] and v.tolist() == [1]
+    assert any("declared arc count" in str(x.message) for x in w)

@@ -30,9 +30,17 @@ __all__ = ["save_decomposition", "load_decomposition"]
 _FORMAT_VERSION = 1
 
 
+def _npz_path(path) -> Path:
+    # np.savez silently appends ".npz" to extension-less paths while np.load
+    # opens the literal path; normalize so save/load always agree.
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz")
+
+
 def save_decomposition(path, decomposition: LanczosDecomposition) -> None:
     """Serialize a decomposition to ``.npz`` (portable, dtype-preserving)."""
-    path = Path(path)
+    path = _npz_path(path)
     np.savez(
         path,
         alphas=np.asarray(decomposition.alphas),
@@ -44,6 +52,7 @@ def save_decomposition(path, decomposition: LanczosDecomposition) -> None:
 
 
 def load_decomposition(path) -> LanczosDecomposition:
+    path = _npz_path(path)
     with np.load(Path(path), allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         if meta.get("version") != _FORMAT_VERSION:

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from two_pass_lanczos_tpu.operators import KKTOperator
+from two_pass_lanczos_tpu.operators import KKTOperator, make_kkt_operator
 from two_pass_lanczos_tpu.ops.spmv import SortedCOO, csr_from_triplets
 from two_pass_lanczos_tpu.utils.data_loader import KKTArrays, load_kkt_arrays
 
@@ -35,12 +35,12 @@ class KKTSystem(NamedTuple):
 
 
 def kkt_operator_from_arrays(arrays: KKTArrays, dtype=jnp.float64) -> KKTSystem:
+    # single construction path: delegate to the operator factory so fixes
+    # there (validation, index dtypes) propagate to file-loaded systems
     return KKTSystem(
-        operator=KKTOperator(
-            d=jnp.asarray(arrays.quad_costs, dtype=dtype),
-            arc_u=jnp.asarray(arrays.arc_u, dtype=jnp.int32),
-            arc_v=jnp.asarray(arrays.arc_v, dtype=jnp.int32),
-            num_nodes=arrays.num_nodes,
+        operator=make_kkt_operator(
+            arrays.quad_costs, arrays.arc_u, arrays.arc_v, arrays.num_nodes,
+            dtype=dtype, backend="xla",
         ),
         num_nodes=arrays.num_nodes,
         num_arcs=arrays.num_arcs,
