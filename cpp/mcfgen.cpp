@@ -39,6 +39,7 @@
 //
 // Scales to 100M+ arcs at ~100 MB/s output.
 
+#include <algorithm>
 #include <cinttypes>
 #include <cmath>
 #include <cstdint>
@@ -137,16 +138,20 @@ int write_dimacs(FILE* out, const NetParams& p, Rng& rng,
   fprintf(out, "c generated by mcfgen (two_pass_lanczos_tpu native toolchain)\n");
   fprintf(out, "p min %" PRId64 " %" PRId64 "\n", n, m);
   // supply nodes then demand nodes, balanced by construction
-  const int64_t nsrc = p.sources > 0 ? p.sources : 1;
-  const int64_t nsnk = p.sinks > 0 ? p.sinks : 1;
+  // clamp to n/2 BEFORE the loop so the remainder branch (s == nsrc-1)
+  // always fires: capping only inside the loop condition would silently
+  // emit an unbalanced (supply != demand) instance for presets asking for
+  // more sources/sinks than n/2
+  const int64_t nsrc = std::min(p.sources > 0 ? p.sources : 1, n / 2 > 0 ? n / 2 : 1);
+  const int64_t nsnk = std::min(p.sinks > 0 ? p.sinks : 1, n / 2 > 0 ? n / 2 : 1);
   int64_t left = p.supply;
-  for (int64_t s = 0; s < nsrc && s < n / 2; ++s) {
+  for (int64_t s = 0; s < nsrc; ++s) {
     int64_t amt = (s == nsrc - 1) ? left : p.supply / nsrc;
     left -= amt;
     fprintf(out, "n %" PRId64 " %" PRId64 "\n", perm[s] + 1, amt);
   }
   left = p.supply;
-  for (int64_t s = 0; s < nsnk && s < n / 2; ++s) {
+  for (int64_t s = 0; s < nsnk; ++s) {
     int64_t amt = (s == nsnk - 1) ? left : p.supply / nsnk;
     left -= amt;
     fprintf(out, "n %" PRId64 " -%" PRId64 "\n", perm[n - 1 - s] + 1, amt);
@@ -248,8 +253,10 @@ int parse_convention(const std::string& path, int64_t* m, int* rho,
   size_t slash = path.find_last_of('/');
   std::string base = (slash == std::string::npos) ? path : path.substr(slash + 1);
   char sflag[8] = {0};
-  if (sscanf(base.c_str(), "netgen-%" SCNd64 "-%d-%" SCNd64 "-%c-%c-%2s", m,
-             rho, iid, cf, cq, sflag) != 6) {
+  // stop the scaling-flag field at the extension dot: a bare '%2s' would
+  // swallow it ("...-s.dmx" -> "s.") and misreport scale=false
+  if (sscanf(base.c_str(), "netgen-%" SCNd64 "-%d-%" SCNd64 "-%c-%c-%2[^.]",
+             m, rho, iid, cf, cq, sflag) != 6) {
     fprintf(stderr,
             "mcfgen: '%s' does not follow the netgen-{m}-{rho}-{id}-{cf}-{cq}"
             "-{s} convention\n", base.c_str());

@@ -113,13 +113,21 @@ def test_parameter_mismatch_from_bad_solver():
 def test_small_norm_b_is_not_rejected():
     """A valid small-norm b (f32 norm ~1e-5) must solve, not be treated as
     zero: the zero-vector threshold sits near the underflow boundary, not at
-    1000·eps of the dtype (which would be 1.2e-4 absolute in f32)."""
+    1000·eps of the dtype (which would be 1.2e-4 absolute in f32).
+
+    NOTE: b must be constructed as a *true* float32 array — NumPy int
+    promotion (`np.float32 * int_array -> float64`) previously masked the
+    f32 path entirely under the suite's x64 config (VERDICT r1 Weak #2)."""
     import two_pass_lanczos_tpu as tpl
 
     diag = jnp.arange(1.0, 65.0, dtype=jnp.float32)
     op = tpl.DiagonalOperator(diag)
-    b = (np.full(64, 1e-6, np.float32) * (1 + np.arange(64) % 3))
-    x = tpl.solve_fAb(op, jnp.asarray(b), k=40, f="inv", method="two_pass")
+    b = (np.arange(64) % 3 + 1).astype(np.float32) * np.float32(1e-6)
+    assert b.dtype == np.float32
+    b_j = jnp.asarray(b)
+    assert b_j.dtype == jnp.float32
+    x = tpl.solve_fAb(op, b_j, k=40, f="inv", method="two_pass")
+    assert x.dtype == jnp.float32
     x_true = b / np.asarray(diag)
     rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-3, rel
@@ -128,6 +136,39 @@ def test_small_norm_b_is_not_rejected():
     with _pytest.raises(tpl.InputError):
         tpl.lanczos_two_pass(op, jnp.zeros(64, jnp.float32), 5,
                              tpl.make_inv_solver())
+
+
+def test_pass_two_small_norm_f32_direct():
+    """Pure-f32 regression for lanczos_pass_two on ||b|| ~ 1.7e-5 (< f32
+    breakdown_tolerance = 1.2e-4): the VERDICT r1 repro. Pass two must gate
+    zero-b on zero_tolerance like pass one does, so the reconstruction must
+    actually run — x == 0 means the bug is back."""
+    import two_pass_lanczos_tpu as tpl
+    from two_pass_lanczos_tpu.algorithms.two_pass import (
+        lanczos_pass_one, lanczos_pass_two)
+
+    n, k = 64, 40
+    diag32 = (np.linspace(1.0, 5.0, n)).astype(np.float32)
+    op = tpl.DiagonalOperator(jnp.asarray(diag32))
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n).astype(np.float32) * np.float32(2e-6)
+    b_j = jnp.asarray(b)
+    assert b_j.dtype == jnp.float32
+    b_norm = float(np.linalg.norm(b))
+    assert 1e-6 < b_norm < 1.2e-4  # squarely inside the old rejection window
+
+    decomp = lanczos_pass_one(op, b_j, k)
+    assert decomp.steps() == k
+    # f = inv on the tridiagonal, scaled by ||b|| as solvers.py does
+    y = tpl.make_inv_solver()(decomp.alphas_valid(), decomp.betas_valid())
+    y = jnp.asarray(np.asarray(y) * b_norm, dtype=jnp.float32)
+    y = jnp.pad(y, (0, k - y.shape[0]))
+    x = lanczos_pass_two(op, b_j, decomp, y)
+    assert x.dtype == jnp.float32
+    assert float(jnp.linalg.norm(x)) > 0.0, "pass two zeroed a valid small b"
+    x_true = b / diag32
+    rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-3, rel
 
 
 def test_pass_two_basis_zero_beyond_steps():

@@ -11,9 +11,13 @@ TPU-native differences:
   reallocating; ``decomposition.steps_taken`` delimits the valid prefix.
 * The per-iteration callback hook of the reference
   (``src/algorithms/mod.rs:69-86``, invoked at ``lanczos.rs:93-106``) is not
-  compatible with a compiled scan; the equivalent observability is provided
-  post-hoc by :func:`two_pass_lanczos_tpu.callbacks.replay_iterations`, which
-  replays (k, V_k, T_k) views from the scan outputs at zero extra compute.
+  compatible with a single compiled scan; equivalent observability is
+  provided two ways: post-hoc by
+  :func:`two_pass_lanczos_tpu.observability.replay_iterations` (replays
+  (k, V_k, T_k) views from the scan outputs at zero extra compute), and
+  in-run by the chunked drivers in
+  :mod:`two_pass_lanczos_tpu.algorithms.chunked`, where a stop decision
+  actually skips the remaining matvecs like the reference's early stop.
 """
 
 from __future__ import annotations

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosDecomposition,
-    breakdown_tolerance,
     pass_one_scan,
+    zero_tolerance,
 )
 from two_pass_lanczos_tpu.operators import LinearOperator
 
@@ -63,9 +63,14 @@ def _reconstruction_scan(
     k = decomposition.k_max
     rdt = decomposition.alphas.dtype
     dt = b.dtype
-    tol = breakdown_tolerance(dt)
     steps = decomposition.steps_taken
 
+    # Zero-b is an *input* check (reference src/algorithms/mod.rs:270-276),
+    # not a magnitude cutoff: gate v1 on zero_tolerance (underflow boundary),
+    # exactly as core.init_carry and the fused kernels do. Using
+    # breakdown_tolerance here (1000*eps ~ 1.2e-4 in f32) silently zeroed
+    # valid small-norm f32 inputs.
+    tol = zero_tolerance(dt)
     b_norm = decomposition.b_norm
     zero_b = b_norm <= jnp.asarray(tol, rdt)
     inv_norm = jnp.where(zero_b, jnp.zeros((), rdt), 1.0 / b_norm)

@@ -869,7 +869,7 @@ class FusedKKTSolver:
         basis_n (k,P2,128))`` stored in HBM (reference one-pass variant)."""
         lay = self.layout
         vm, sm = self._common_specs()
-        hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+        hbm = pl.BlockSpec(memory_space=pl.ANY)
         kern = functools.partial(
             _pass_one_basis_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
             tol=self.tol, ztol=self.ztol,

@@ -305,23 +305,30 @@ class ShardedFusedKKTSolver:
             return (xu, xn), decomp
         return self.unpack(xu, xn), decomp
 
+    def _matvec_fn(self):
+        # cached like the solver path: rebuilding jit(shard_map(...)) per
+        # call would pay retrace+compile every time
+        key = ("matvec",)
+        if key not in self._solve_cache:
+            axis = self.axis
+
+            def run(arrs_and_wins, xu, xv, xn):
+                arrs = tuple(a[0] for a in arrs_and_wins[:8])
+                wins = tuple(w[0] for w in arrs_and_wins[8:])
+                yu, yv, s_local = self._local_matvec_call(
+                    arrs, wins, xu[0], xv[0], xn)
+                return yu[None], lax.psum(s_local, axis)
+
+            self._solve_cache[key] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(axis)] * 10), P(axis), P(axis), P()),
+                out_specs=(P(axis), P()),
+                check_vma=False,
+            ))
+        return self._solve_cache[key]
+
     def matvec(self, x) -> np.ndarray:
         """One distributed matvec (testing hook)."""
         bu, bv, bn = self.pack(x)
-        axis = self.axis
-
-        def run(arrs_and_wins, xu, xv, xn):
-            arrs = tuple(a[0] for a in arrs_and_wins[:8])
-            wins = tuple(w[0] for w in arrs_and_wins[8:])
-            yu, yv, s_local = self._local_matvec_call(
-                arrs, wins, xu[0], xv[0], xn)
-            return yu[None], lax.psum(s_local, axis)
-
-        fn = jax.jit(jax.shard_map(
-            run, mesh=self.mesh,
-            in_specs=(tuple([P(axis)] * 10), P(axis), P(axis), P()),
-            out_specs=(P(axis), P()),
-            check_vma=False,
-        ))
-        yu, yn = fn(self._arrs + self._wins, bu, bv, bn)
+        yu, yn = self._matvec_fn()(self._arrs + self._wins, bu, bv, bn)
         return self.unpack(yu, yn)
