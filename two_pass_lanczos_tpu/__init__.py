@@ -33,9 +33,11 @@ from two_pass_lanczos_tpu.algorithms import (
     LanczosDecomposition,
     breakdown_tolerance,
     lanczos_pass_one,
+    lanczos_pass_one_chunked,
     lanczos_pass_two,
     lanczos_pass_two_with_basis,
     lanczos_standard,
+    lanczos_standard_chunked,
 )
 from two_pass_lanczos_tpu.errors import (
     BreakdownError,
@@ -76,7 +78,9 @@ __all__ = [
     "solve_fAb",
     # algorithms
     "lanczos_standard",
+    "lanczos_standard_chunked",
     "lanczos_pass_one",
+    "lanczos_pass_one_chunked",
     "lanczos_pass_two",
     "lanczos_pass_two_with_basis",
     "LanczosDecomposition",

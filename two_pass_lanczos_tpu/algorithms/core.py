@@ -37,6 +37,7 @@ __all__ = [
     "LanczosDecomposition",
     "LanczosCarry",
     "lanczos_recurrence_step",
+    "make_pass_one_step",
     "pass_one_scan",
     "init_carry",
     "l2_norm",
@@ -209,24 +210,16 @@ def lanczos_recurrence_step(
     return alpha, beta, w
 
 
-def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool, reduce_sum=None):
-    """Run ``k`` recurrence steps as one ``lax.scan``.
+def make_pass_one_step(matvec, dtype, *, emit_basis: bool, reduce_sum=None):
+    """Scan-step factory for the pass-one recurrence.
 
-    Returns ``(decomposition, basis_or_none)`` where ``basis`` has shape
-    ``(k, n)`` with row ``i`` equal to v_{i+1} (zeros beyond ``steps_taken``).
-
-    This single function backs both the one-pass algorithm
-    (``emit_basis=True`` — the O(nk) variant, reference
-    ``src/algorithms/lanczos.rs:55-156``) and pass one of the two-pass
-    algorithm (``emit_basis=False`` — scalars only, O(n) memory, reference
-    ``src/algorithms/lanczos_two_pass.rs:65-110``).
+    Shared by :func:`pass_one_scan` (single fixed-length scan) and the
+    chunked early-stopping drivers (:mod:`two_pass_lanczos_tpu.algorithms
+    .chunked`) so both paths execute the *identical* floating-point sequence
+    — the chunked run's coefficients are bit-equal to the monolithic scan's.
     """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    tol = breakdown_tolerance(b.dtype)
-    rdt = _real_dtype(b.dtype)
-    b_norm = l2_norm(b, reduce_sum)
-    carry0 = init_carry(b, b_norm, zero_tolerance(b.dtype))
+    tol = breakdown_tolerance(dtype)
+    rdt = _real_dtype(dtype)
 
     def step(carry: LanczosCarry, _):
         executed = jnp.logical_not(carry.done)
@@ -259,6 +252,28 @@ def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool, reduce_sum=
             out = (alpha_out, beta_out)
         return new_carry, out
 
+    return step
+
+
+def pass_one_scan(matvec, b: jax.Array, k: int, *, emit_basis: bool, reduce_sum=None):
+    """Run ``k`` recurrence steps as one ``lax.scan``.
+
+    Returns ``(decomposition, basis_or_none)`` where ``basis`` has shape
+    ``(k, n)`` with row ``i`` equal to v_{i+1} (zeros beyond ``steps_taken``).
+
+    This single function backs both the one-pass algorithm
+    (``emit_basis=True`` — the O(nk) variant, reference
+    ``src/algorithms/lanczos.rs:55-156``) and pass one of the two-pass
+    algorithm (``emit_basis=False`` — scalars only, O(n) memory, reference
+    ``src/algorithms/lanczos_two_pass.rs:65-110``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b_norm = l2_norm(b, reduce_sum)
+    carry0 = init_carry(b, b_norm, zero_tolerance(b.dtype))
+    step = make_pass_one_step(
+        matvec, b.dtype, emit_basis=emit_basis, reduce_sum=reduce_sum
+    )
     carry, outs = jax.lax.scan(step, carry0, None, length=k)
     alphas, betas = outs[0], outs[1]
     decomp = LanczosDecomposition(

@@ -7,8 +7,10 @@ mismatches, eigendecomposition failures, and user-solver failures.
 
 Design note (TPU-native): numerical *breakdown* is normally a graceful early
 termination (``steps_taken`` truncates downstream work, exactly like the
-reference), so :class:`BreakdownError` is only raised by APIs explicitly asked
-to treat breakdown as fatal. Inside ``jax.jit``-traced code no Python
+reference); :class:`BreakdownError` is raised only when the solver is
+explicitly asked to treat breakdown as fatal via
+``lanczos(..., strict_breakdown=True)`` / ``lanczos_two_pass(...,
+strict_breakdown=True)``. Inside ``jax.jit``-traced code no Python
 exception can be raised on traced values; the jitted kernels therefore encode
 failure states in outputs (``steps_taken == 0`` for a zero input vector) and
 the host-level API converts them to these exceptions.

@@ -37,6 +37,7 @@ from two_pass_lanczos_tpu.algorithms.two_pass import (
     lanczos_pass_two_with_basis,
 )
 from two_pass_lanczos_tpu.errors import (
+    BreakdownError,
     DimensionMismatchError,
     InputError,
     ParameterMismatchError,
@@ -83,21 +84,52 @@ def _check_zero_b(decomp: LanczosDecomposition, b):
         raise InputError("Input vector `b` must not be a zero vector.")
 
 
+def _check_strict_breakdown(decomp: LanczosDecomposition, k: int, strict: bool):
+    """Opt-in fatal-breakdown mode: raise if the subspace became invariant
+    before k steps. Reference parity: ``LanczosErrorKind::Breakdown { k }``
+    (``src/error.rs:26``) — the reference defines the kind; this is the API
+    that actually raises it. A callback-requested early stop is NOT a
+    breakdown (its residual β stays positive; true breakdown records
+    β == 0 at the final step)."""
+    if strict and decomp.steps() < k and decomp.beta_last() == 0.0:
+        raise BreakdownError(decomp.steps())
+
+
 def lanczos(
     operator: LinearOperator,
     b,
     k: int,
     f_tk_solver: Callable,
+    *,
+    callback: Callable = None,
+    callback_chunk: int = 16,
+    strict_breakdown: bool = False,
 ) -> jax.Array:
     """One-pass f(A)·b: run ``lanczos_standard``, solve the projected problem,
     reconstruct ``x_k = V_k · y'_k · ‖b‖`` with a single GEMV.
 
     Reference parity: ``solvers::lanczos`` (``src/solvers.rs:46-105``).
+
+    ``callback(steps, V_view, (alphas, betas)) -> bool`` enables the
+    reference's per-iteration hook with true in-run early stopping (the
+    remaining matvecs are skipped — see ``algorithms/chunked.py``);
+    ``callback_chunk`` sets the compiled block size between host checks.
+    ``strict_breakdown=True`` raises :class:`BreakdownError` instead of
+    truncating gracefully when the Krylov subspace becomes invariant
+    before ``k`` steps.
     """
     b = jnp.asarray(b)
     _validate_inputs(operator, b, k)
-    decomp, v_k = _pass_one_jit(operator, b, k, True)
+    if callback is not None:
+        from two_pass_lanczos_tpu.algorithms.chunked import lanczos_standard_chunked
+
+        decomp, v_k = lanczos_standard_chunked(
+            operator, b, k, callback, chunk=callback_chunk
+        )
+    else:
+        decomp, v_k = _pass_one_jit(operator, b, k, True)
     _check_zero_b(decomp, b)
+    _check_strict_breakdown(decomp, k, strict_breakdown)
     steps = decomp.steps()
     if steps == 0:  # defensive; unreachable after _check_zero_b
         return jnp.zeros_like(b)  # reference parity: solvers.rs:64-66
@@ -122,6 +154,9 @@ def lanczos_two_pass(
     f_tk_solver: Callable,
     *,
     return_basis: bool = False,
+    callback: Callable = None,
+    callback_chunk: int = 16,
+    strict_breakdown: bool = False,
 ):
     """Two-pass f(A)·b with O(n) memory.
 
@@ -129,22 +164,49 @@ def lanczos_two_pass(
     pass one → user ``f_tk_solver`` → scale by ‖b‖ → reconstruction pass.
     ``return_basis=True`` exposes the regenerated basis for the
     orthogonality/reconstruction-stability studies (reference
-    ``lanczos_pass_two_with_basis``).
+    ``lanczos_pass_two_with_basis``). ``callback`` enables live in-run early
+    stopping of pass one (scalars-only view — pass one stores no basis);
+    a stop at step s also shortens pass two to s steps.
+    ``strict_breakdown=True`` raises :class:`BreakdownError` on invariant
+    subspaces instead of truncating.
     """
     b = jnp.asarray(b)
     _validate_inputs(operator, b, k)
-    decomp, _ = _pass_one_jit(operator, b, k, False)
+    if callback is not None:
+        from two_pass_lanczos_tpu.algorithms.chunked import lanczos_pass_one_chunked
+
+        decomp = lanczos_pass_one_chunked(
+            operator, b, k, callback, chunk=callback_chunk
+        )
+    else:
+        decomp, _ = _pass_one_jit(operator, b, k, False)
     _check_zero_b(decomp, b)
+    _check_strict_breakdown(decomp, k, strict_breakdown)
     steps = decomp.steps()
     if steps == 0:
         z = jnp.zeros_like(b)
         return (z, jnp.zeros((0, b.shape[0]), b.dtype)) if return_basis else z
     y = _run_f_solver(f_tk_solver, decomp)
-    y_full = np.zeros((k,), dtype=np.asarray(y).dtype)
+    # Truncate pass two to the executed prefix: the masked scan would
+    # otherwise still run k matvecs on frozen state after an early stop or
+    # breakdown. The reference's pass two runs exactly steps-1 matvecs
+    # (``src/algorithms/lanczos_two_pass.rs:266``).
+    if steps < k:
+        decomp = LanczosDecomposition(
+            alphas=decomp.alphas[:steps],
+            betas=decomp.betas[:steps],
+            steps_taken=decomp.steps_taken,
+            b_norm=decomp.b_norm,
+        )
+    k_eff = decomp.k_max
+    y_full = np.zeros((k_eff,), dtype=np.asarray(y).dtype)
     y_full[:steps] = y
     y_dev = jnp.asarray(y_full).astype(b.dtype) * decomp.b_norm.astype(b.dtype)
     if return_basis:
-        return _pass_two_basis_jit(operator, b, decomp, y_dev)
+        x, basis = _pass_two_basis_jit(operator, b, decomp, y_dev)
+        if k_eff < k:  # restore the static (k, n) shape contract
+            basis = jnp.pad(basis, ((0, k - k_eff), (0, 0)))
+        return x, basis
     return _pass_two_jit(operator, b, decomp, y_dev)
 
 
