@@ -76,16 +76,34 @@ def main() -> int:
         samples.append(time.perf_counter() - t0)
     t = min(samples)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
-                "value": round(t, 4),
-                "unit": "s",
-                "vs_baseline": round(ref_time_s / t, 2),
-            }
-        )
-    )
+    record = {
+        "metric": f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(ref_time_s / t, 2),
+    }
+
+    if backend == "tpu":
+        # BASELINE.md per-chip SpMV metric, re-measured every round on the
+        # HBM-streaming path (the metric's domain — see PERF.md "Speed-of-
+        # light accounting"; the resident fused path above retires it).
+        try:
+            from two_pass_lanczos_tpu.utils.sol_bench import (
+                measure_streaming_matvec,
+            )
+
+            per, sol_layout, sol_ideal, _ = measure_streaming_matvec(
+                arcs, rho=rho, reps=3, windowed=True)
+            record.update(
+                spmv_us_per_matvec=round(per * 1e6, 1),
+                spmv_gnnz_per_s=round(sol_layout.achieved_nnz_per_s / 1e9, 2),
+                spmv_sol_fraction_layout=round(sol_layout.sol_fraction, 3),
+                spmv_sol_fraction_ideal=round(sol_ideal.sol_fraction, 3),
+            )
+        except Exception as e:  # noqa: BLE001 — SoL stats must not kill bench
+            record["spmv_sol_error"] = str(e)[:200]
+
+    print(json.dumps(record))
     return 0
 
 

@@ -1,0 +1,125 @@
+"""Pin the per-step collective traffic of the two distributed designs.
+
+Extracted from the compiled HLO on the 8-virtual-device CPU mesh (the
+collective instructions XLA emits are mesh facts, not backend facts):
+
+* generic row partition (`ShardedSparseOperator`): exactly one full-vector
+  all-gather per pass per step — O(n) bytes;
+* arc-sharded fused design (`ShardedFusedKKTSolver`): only the (P2, 128)
+  node-partial psum (+ scalar psums) per step — O(p) bytes, no all-gather.
+
+This is the measured basis for the PERF.md "~5 KB vs ~2 MB per step" model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+from two_pass_lanczos_tpu.utils.collectives import (
+    collective_bytes,
+    collectives_in_hlo,
+)
+
+ARCS = 20_000
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("rows",))
+
+
+@pytest.fixture(scope="module")
+def inst():
+    return generate_mcf_instance(ARCS, rho=3, instance_id=1)
+
+
+def _compiled_text(jitted, *args):
+    return jitted.lower(*args).compile().as_text()
+
+
+def test_generic_path_collectives(mesh8, inst):
+    from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
+
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
+    b = np.random.default_rng(0).standard_normal(inst.num_arcs + inst.num_nodes)
+    solver = op._solver(8, "inv", "two_pass")
+    txt = _compiled_text(solver, op.local_rows, op.local_cols, op.local_vals,
+                         op._prepare_b(b))
+    ops = collectives_in_hlo(txt)
+    gathers = [o for o in ops if o.kind == "all-gather"]
+    # one all-gather of the full padded vector per pass (pass one + pass two)
+    assert sum(o.count for o in gathers) == 2, ops
+    n_pad = op.part.n_pad
+    for o in gathers:
+        assert o.shape == (n_pad,), o
+    # scalar psums only besides that (alpha, beta^2, b-norm)
+    vec_reduces = [o for o in ops if o.kind == "all-reduce" and o.shape != ()]
+    assert not vec_reduces, ops
+
+
+def test_fused_path_collectives(mesh8, inst):
+    from two_pass_lanczos_tpu.parallel.fused_sharded import ShardedFusedKKTSolver
+
+    s = ShardedFusedKKTSolver(
+        inst.quad_costs.astype(np.float32), inst.arc_u, inst.arc_v,
+        inst.num_nodes, mesh8, interpret=True)
+    b = np.random.default_rng(0).standard_normal(s.n)
+    solver = s._solver(8, "inv", "two_pass")
+    bu, bv, bn = s.pack(b)
+    txt = _compiled_text(solver, s._arrs + s._wins, bu, bv, bn)
+    ops = collectives_in_hlo(txt)
+    # NO all-gather anywhere: the node block is replicated, arcs never move
+    assert not [o for o in ops if o.kind == "all-gather"], ops
+    # the only vector collective is the (P2, 128) node-partial psum
+    vec = [o for o in ops if o.kind == "all-reduce" and o.shape != ()]
+    assert vec, ops
+    for o in vec:
+        assert o.shape == (s.P2, 128), o
+
+
+def test_traffic_ratio_matches_perf_model(mesh8, inst):
+    """The O(n) vs O(p) separation: per-step all-gather bytes of the generic
+    path vs psum bytes of the fused path, both from compiled HLO. At 20k
+    arcs the model predicts n_pad*8 B vs P2*128*4 B (~50x); at the 500k-arc
+    production size the same formulas give ~2 MB vs ~5.6 KB (~360x) —
+    PERF.md 'Distributed design'."""
+    from two_pass_lanczos_tpu.parallel.fused_sharded import ShardedFusedKKTSolver
+    from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
+
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
+    b = np.random.default_rng(1).standard_normal(inst.num_arcs + inst.num_nodes)
+    txt_g = _compiled_text(op._solver(4, "inv", "two_pass"), op.local_rows,
+                           op.local_cols, op.local_vals, op._prepare_b(b))
+    gathers = [o for o in collectives_in_hlo(txt_g) if o.kind == "all-gather"]
+    # per step = one instance (XLA may dedupe the pass-1/pass-2 bodies)
+    per_step_gather = max(o.bytes_out // o.count for o in gathers)
+
+    s = ShardedFusedKKTSolver(
+        inst.quad_costs.astype(np.float32), inst.arc_u, inst.arc_v,
+        inst.num_nodes, mesh8, interpret=True)
+    bu, bv, bn = s.pack(b)
+    txt_f = _compiled_text(s._solver(4, "inv", "two_pass"),
+                           s._arrs + s._wins, bu, bv, bn)
+    vec = [o for o in collectives_in_hlo(txt_f)
+           if o.kind == "all-reduce" and o.shape != ()]
+    per_step_psum = max(o.bytes_out // o.count for o in vec)
+
+    # model values
+    assert per_step_gather == op.part.n_pad * 8
+    assert per_step_psum == s.P2 * 128 * 4
+    ratio = per_step_gather / per_step_psum
+    assert ratio > 25, ratio  # O(n)/O(p); grows with instance size
+
+
+def test_nnz_balance(mesh8, inst):
+    """The snake partition balances nnz, not rows: max/mean < 1.02 on the
+    KKT instance across 8 devices (recorded table in PERF.md)."""
+    from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
+
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
+    per = op.nnz_per_device
+    assert per.sum() == 5 * inst.num_arcs
+    assert per.max() / per.mean() < 1.02, per

@@ -66,6 +66,12 @@ from two_pass_lanczos_tpu.operators import (
     as_operator,
     make_kkt_operator,
 )
+from two_pass_lanczos_tpu.algorithms.df import (
+    DFDiagonalOperator,
+    DFKKTOperator,
+    lanczos_pass_one_df,
+    solve_fAb_df,
+)
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
 
@@ -102,6 +108,11 @@ __all__ = [
     "make_function_solver",
     "make_poly_solver",
     "padded_f_e1",
+    # compensated-precision (double-float) TPU path
+    "DFDiagonalOperator",
+    "DFKKTOperator",
+    "lanczos_pass_one_df",
+    "solve_fAb_df",
     # errors
     "LanczosError",
     "BreakdownError",

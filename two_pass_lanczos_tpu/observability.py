@@ -35,6 +35,7 @@ __all__ = [
     "trace",
     "SoLReport",
     "kkt_spmv_sol",
+    "kkt_streaming_sol",
 ]
 
 
@@ -137,11 +138,14 @@ def kkt_spmv_sol(
     dtype_bytes: int = 4,
     backend: str = "tpu",
 ) -> SoLReport:
-    """Speed-of-light bound for the structure-aware KKT matvec.
+    """*Ideal-layout* speed-of-light bound for the structure-aware KKT matvec.
 
-    Minimum HBM traffic per matvec: the five per-arc streams
-    (u, v int32 reads = 4B·2; d, x_a reads + y_a write = value bytes·3) plus the node
-    vector in/out (negligible). Index arrays are int32.
+    Minimum HBM traffic any single-ordering layout could achieve: the five
+    per-arc streams (u, v int32 reads = 4B·2; d, x_a reads + y_a write =
+    value bytes·3) plus the node vector in/out (negligible). This is the
+    information-theoretic floor — the production dual-sorted layout must
+    move ~2.1× more (see :func:`kkt_streaming_sol`), the price of turning
+    scatters into contiguous segmented sums.
     """
     per_arc = 2 * 4 + 3 * dtype_bytes  # u, v int32 + d, x_a, y_a values
     bytes_total = num_arcs * per_arc + 2 * num_nodes * dtype_bytes
@@ -149,6 +153,39 @@ def kkt_spmv_sol(
     nnz = 5 * num_arcs
     return SoLReport(
         nnz=nnz,
+        bytes_per_matvec=bytes_total,
+        sol_seconds=bytes_total / bw,
+        achieved_seconds=achieved_seconds,
+    )
+
+
+def kkt_streaming_sol(layout, achieved_seconds: float,
+                      backend: str = "tpu") -> SoLReport:
+    """Speed-of-light bound for the **dual-sorted streaming matvec**
+    (``ops/kkt_fused.kkt_streaming_matvec``) — the BASELINE.md per-chip
+    metric applies to this path (used beyond ~1.4M arcs and inside
+    ``ShardedFusedKKTSolver``).
+
+    Exact HBM traffic per matvec, from the kernel's BlockSpecs: per ordering
+    the grid streams five (R, 128) f32/i32 planes (d, es, eo, x read, y
+    write) plus the (C, 128, 2) i32 group table; the node table (P2, 128) is
+    read once and the node output written once (constant index maps — Pallas
+    keeps the block resident across the sequential grid). R counts *padded*
+    slots: the per-node 128-lane run padding is part of the layout's real
+    traffic, not overhead we get to ignore.
+
+    ``layout`` is a ``SortedKKTLayout``.
+    """
+    lane = 128
+    bytes_total = 0
+    for o in (layout.u, layout.v):
+        bytes_total += 5 * o.R * lane * 4  # d2, es2, eo2, x, y
+        bytes_total += o.C * lane * 2 * 4  # gn3
+        bytes_total += o.C * 4  # win (SMEM)
+    bytes_total += 2 * layout.P2 * lane * 4  # xn read + yn write
+    bw = HBM_BW.get(backend, 819e9)
+    return SoLReport(
+        nnz=5 * layout.m,
         bytes_per_matvec=bytes_total,
         sol_seconds=bytes_total / bw,
         achieved_seconds=achieved_seconds,

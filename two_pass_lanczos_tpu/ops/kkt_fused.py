@@ -644,7 +644,8 @@ def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 # ---------------------------------------------------------------------------
 
 def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
-                             winu, winv, yu, yv, yn, acc, *, p_hi, wg_u, wg_v):
+                             winu, winv, yu, yv, yn, acc, *, p_hi, wg_u, wg_v,
+                             e_scale=1.0):
     """One grid step = one CHUNK of both orderings, blocks streamed from HBM.
 
     Same math as :func:`_emit_matvec`, but the arc data and vector chunks are
@@ -653,6 +654,11 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
     once *per matvec* instead of once per pass). The node table and the
     scatter accumulator stay resident; the accumulator is flushed to ``yn``
     at the last grid step (the TPU grid is sequential).
+
+    ``e_scale`` folds a static scalar into the incidence entries (E becomes
+    ±e_scale): with ``d`` pre-scaled on the host this computes ``(s·A)·x`` at
+    *identical* cost to ``A·x`` — used by the SoL bench to chain matvecs
+    without norm growth (spectral radius ≤ 1) and zero extra HBM traffic.
     """
     i = pl.program_id(0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
@@ -662,8 +668,8 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
         acc[:] = jnp.zeros(acc.shape, jnp.float32)
 
     for x_ref, y_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg in (
-            (xu, yu, du, esu, eou, gnu, winu, 1.0, wg_u),
-            (xv, yv, dv, esv, eov, gnv, winv, -1.0, wg_v)):
+            (xu, yu, du, esu, eou, gnu, winu, e_scale, wg_u),
+            (xv, yv, dv, esv, eov, gnv, winv, -e_scale, wg_v)):
         x2 = x_ref[:]
         es = es_ref[:]
         eo = eo_ref[:]
@@ -690,7 +696,7 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 
 def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
                          p2: int, wg_u: int = 0, wg_v: int = 0,
-                         interpret: bool = False):
+                         interpret: bool = False, e_scale: float = 1.0):
     """Grid-blocked A·x in the rep layout; any instance size.
 
     ``arrs`` = (du2, esu2, eou2, gnu3, dv2, esv2, eov2, gnv3) device arrays,
@@ -705,7 +711,7 @@ def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
                         memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = functools.partial(_matvec_streaming_kernel, p_hi=p_hi,
-                             wg_u=wg_u, wg_v=wg_v)
+                             wg_u=wg_u, wg_v=wg_v, e_scale=e_scale)
     return pl.pallas_call(
         kern,
         grid=(c_chunks,),
