@@ -142,18 +142,30 @@ def test_mcfgen_three_stage_pipeline(native_build, tmp_path):
     assert (arrays.quad_costs > 0).all()
 
 
-def test_mcfgen_netgen_accepts_reference_presets(native_build, tmp_path):
-    """``mcfgen netgen`` consumes the classic NETGEN .par format directly
-    (e.g. the reference's 60 presets under data/netgen/param)."""
-    par = tmp_path / "preset.par"
-    par.write_text("919377606\n 1 1024 102 102 32768 1 5000 71000 0 0 0 100 1 1000\n")
+PRESETS = sorted((REPO / "data" / "netgen" / "param").glob("*.par"))
+
+
+@pytest.mark.parametrize("par", PRESETS, ids=lambda p: p.stem)
+def test_mcfgen_netgen_accepts_vendored_presets(native_build, par):
+    """``mcfgen netgen`` consumes the classic NETGEN .par format directly —
+    exercised on the vendored presets in data/netgen/param (same 15-field
+    layout as the reference's 60 presets). Also pins supply balance: the
+    n64_widesrc preset asks for more sources/sinks than n/2, which must be
+    clamped BEFORE the emission loop so supply == demand."""
+    fields = par.read_text().split()
+    assert len(fields) == 15
+    nodes, arcs = int(fields[2]), int(fields[5])
     with open(par) as fin:
         proc = subprocess.run([str(native_build / "mcfgen"), "netgen"],
                               stdin=fin, capture_output=True, text=True,
                               check=True)
-    head = proc.stdout.splitlines()
-    assert any(ln.startswith("p min 1024 32768") for ln in head[:3])
-    assert sum(1 for ln in head if ln.startswith("a ")) == 32768
+    lines = proc.stdout.splitlines()
+    assert any(ln.startswith(f"p min {nodes} {arcs}") for ln in lines[:3])
+    assert sum(1 for ln in lines if ln.startswith("a ")) == arcs
+    supplies = [int(ln.split()[2]) for ln in lines if ln.startswith("n ")]
+    assert supplies, "no node supply lines emitted"
+    assert sum(supplies) == 0, "unbalanced instance (supply != demand)"
+    assert sum(s for s in supplies if s > 0) == int(fields[8])  # total supply
 
 
 def test_mcfgen_stage_equivalence(native_build, tmp_path):

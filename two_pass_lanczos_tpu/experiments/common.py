@@ -74,6 +74,34 @@ def peak_memory_kb() -> int:
     return get_peak_rss_kb()
 
 
+def device_peak_kb(basis_bytes: int = 0) -> int:
+    """Device-memory column for the TPU experiments (the measured O(nk) vs
+    O(n) separation — VERDICT r1 item 6).
+
+    Uses PJRT ``peak_bytes_in_use`` when the backend exposes it. The
+    tunneled runtime returns ``memory_stats() = None``, so the fallback is
+    the live jax-array bytes (operator data + persistent vectors, measured)
+    plus the solve's dominant transient — the one-pass basis — supplied
+    analytically by the caller (``basis_bytes``; 0 for two-pass, whose
+    transients are three work vectors already visible as live arrays).
+    Returns 0 on CPU, where ``rss_kb`` is the measured quantity.
+    """
+    import jax
+
+    from two_pass_lanczos_tpu.utils.perf import (
+        device_memory_stats,
+        live_device_bytes,
+    )
+
+    if jax.default_backend() == "cpu":
+        return 0
+    stats = device_memory_stats()
+    peak = stats.get("peak_bytes_in_use")
+    if peak:
+        return int(peak) // 1024
+    return (live_device_bytes() + basis_bytes) // 1024
+
+
 def resolve_backend(requested: str) -> str:
     """'auto' -> the fused VMEM-resident path on TPU, XLA elsewhere."""
     import jax

@@ -3,7 +3,10 @@
 Sweeps the arc count, generating each instance (with validation and up to 5
 seed-rotating retries, reference ``scalability.rs:223-299``), then timing both
 variants. CSV rows are flushed incrementally per record so partial runs
-preserve data (``scalability.rs:198-200``). Schema: ``variant,n,k,time_s,rss_kb``.
+preserve data (``scalability.rs:198-200``). Schema: the reference's
+``variant,n,k,time_s,rss_kb`` plus ``device_peak_kb`` (device-side memory:
+PJRT peak when exposed, live array bytes + analytic one-pass basis
+otherwise — ``common.device_peak_kb``).
 
 Process model: by default everything runs in-process, where ``rss_kb`` is the
 PROCESS-CUMULATIVE peak. ``--isolate`` reproduces the reference's model — one
@@ -85,7 +88,14 @@ def _build_solve(args, arcs):
             x, _ = solver.solve(b, k=args.k, f="inv", method=method, raw=True)
             return x
 
-        return n, solve
+        lay = solver.layout
+
+        def basis_bytes(method):
+            if method != "one_pass":
+                return 0
+            return args.k * (lay.u.R + lay.P2) * 128 * 4
+
+        return n, solve, basis_bytes
 
     op = tpl.make_kkt_operator(
         inst.quad_costs, inst.arc_u, inst.arc_v, inst.num_nodes,
@@ -97,20 +107,27 @@ def _build_solve(args, arcs):
     def solve(method):
         return tpl.solve_fAb(op, b_dev, k=args.k, f="inv", method=method)
 
-    return n, solve
+    itemsize = np.dtype(op.dtype).itemsize
+
+    def basis_bytes(method):
+        return args.k * n * itemsize if method == "one_pass" else 0
+
+    return n, solve, basis_bytes
 
 
-def _measure(args, variant, solve, n, emit):
+def _measure(args, variant, solve, n, emit, basis_bytes=lambda m: 0):
     from two_pass_lanczos_tpu.experiments.common import (
-        log, peak_memory_kb, timed_solve,
+        device_peak_kb, log, peak_memory_kb, timed_solve,
     )
 
     method = "one_pass" if variant == "standard" else "two_pass"
     timed_solve(solve, method)  # warm/compile
     _, dt = timed_solve(solve, method)
     rss = peak_memory_kb()
-    log.info("%s n=%d k=%d time=%.4fs mem=%dKB", variant, n, args.k, dt, rss)
-    emit(variant, n, args.k, dt, rss)
+    dev_kb = device_peak_kb(basis_bytes(method))
+    log.info("%s n=%d k=%d time=%.4fs mem=%dKB dev=%dKB",
+             variant, n, args.k, dt, rss, dev_kb)
+    emit(variant, n, args.k, dt, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -127,13 +144,14 @@ def main(argv=None) -> int:
     wv = worker_variant()
     if wv is not None:  # worker: single (variant, size sweep) run on stdout
         for arcs in range(args.arcs_start, args.arcs_end + 1, args.arcs_step):
-            n, solve = _build_solve(args, arcs)
-            _measure(args, wv, solve, n, emit_row)
+            n, solve, basis_bytes = _build_solve(args, arcs)
+            _measure(args, wv, solve, n, emit_row, basis_bytes)
         return 0
 
     with open(args.output, "w", newline="") as fh:
         writer = csv.writer(fh)
-        writer.writerow(["variant", "n", "k", "time_s", "rss_kb"])
+        writer.writerow(["variant", "n", "k", "time_s", "rss_kb",
+                         "device_peak_kb"])
 
         def emit(*fields):
             writer.writerow(fields)
@@ -150,16 +168,16 @@ def main(argv=None) -> int:
                      "--backend", args.backend, "--output", "/dev/null",
                      *(["--cpu-f64"] if args.cpu_f64 else [])],
                     lambda f: (f[0], int(f[1]), int(f[2]), float(f[3]),
-                               int(f[4])),
+                               int(f[4]), int(f[5])),
                 )
                 for r in rows:
                     emit(*r)
         else:
             for arcs in range(args.arcs_start, args.arcs_end + 1,
                               args.arcs_step):
-                n, solve = _build_solve(args, arcs)
+                n, solve, basis_bytes = _build_solve(args, arcs)
                 for variant in VARIANTS:
-                    _measure(args, variant, solve, n, emit)
+                    _measure(args, variant, solve, n, emit, basis_bytes)
 
     from two_pass_lanczos_tpu.experiments.common import log
 

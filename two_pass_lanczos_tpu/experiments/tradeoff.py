@@ -2,7 +2,12 @@
 (reference ``src/bin/tradeoff.rs``).
 
 Known-solution setup: ``x_true = 1/√n``, ``b = A·x_true``; f = inv; sweep k.
-CSV schema matches ``results/tradeoff_*.csv``: ``variant,k,time_s,rss_kb``.
+CSV schema is the reference's ``variant,k,time_s,rss_kb``
+(``results/tradeoff_*.csv``) plus a ``device_peak_kb`` column: on
+accelerators ``rss_kb`` only reflects host staging, so the O(nk) vs O(n)
+memory story is measured on the device side (PJRT peak when exposed; live
+array bytes + the analytic one-pass basis otherwise — see
+``common.device_peak_kb``).
 
 Process model: by default both variants run in-process, in which case the
 ``rss_kb`` column is the PROCESS-CUMULATIVE peak (later rows inherit earlier
@@ -75,7 +80,16 @@ def _build_context(args):
                 x, _ = solver.solve(b, k=k, f="inv", method=method, raw=True)
                 return x
 
-            return solve
+            lay = solver.layout
+
+            def basis_bytes(k, method):
+                # fused one-pass streams the (k, R, 128)+(k, P2, 128) basis
+                # to HBM (ops/kkt_fused.pass_one_with_basis)
+                if method != "one_pass":
+                    return 0
+                return k * (lay.u.R + lay.P2) * 128 * 4
+
+            return solve, basis_bytes
         backend = "pallas"  # VMEM-budget fallback
 
     op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u, arrays.arc_v,
@@ -86,24 +100,30 @@ def _build_context(args):
     def solve(k, method):
         return tpl.solve_fAb(op, b_dev, k=k, f="inv", method=method)
 
-    return solve
+    itemsize = np.dtype(op.dtype).itemsize
+
+    def basis_bytes(k, method):
+        return k * arrays.n * itemsize if method == "one_pass" else 0
+
+    return solve, basis_bytes
 
 
-def _run_variant(args, variant, emit, solve=None):
+def _run_variant(args, variant, emit, ctx=None):
     from two_pass_lanczos_tpu.experiments.common import (
-        log, peak_memory_kb, timed_solve,
+        device_peak_kb, log, peak_memory_kb, timed_solve,
     )
 
-    if solve is None:
-        solve = _build_context(args)
+    solve, basis_bytes = ctx if ctx is not None else _build_context(args)
     method = "one_pass" if variant == "standard" else "two_pass"
     for k in range(args.k_start, args.k_end + 1, args.k_step):
         # warm (compile) with a forced readback, then time
         timed_solve(solve, k, method)
         _, dt = timed_solve(solve, k, method)
         rss = peak_memory_kb()
-        log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
-        emit(variant, k, dt, rss)
+        dev_kb = device_peak_kb(basis_bytes(k, method))
+        log.info("%s k=%d time=%.4fs mem=%dKB dev=%dKB",
+                 variant, k, dt, rss, dev_kb)
+        emit(variant, k, dt, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -117,7 +137,7 @@ def main(argv=None) -> int:
     if args.cpu_f64:
         force_cpu_f64()
 
-    header = ["variant", "k", "time_s", "rss_kb"]
+    header = ["variant", "k", "time_s", "rss_kb", "device_peak_kb"]
     wv = worker_variant()
     if wv is not None:  # worker process: stream headerless rows on stdout
         _run_variant(args, wv, emit_row)
@@ -127,12 +147,12 @@ def main(argv=None) -> int:
     if args.isolate:
         rows = run_orchestrated(
             [MODULE, *(argv or _reconstruct_argv(args))],
-            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3])),
+            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]), int(f[4])),
         )
     else:
-        solve = _build_context(args)  # shared: one instance/solver build
+        ctx = _build_context(args)  # shared: one instance/solver build
         for variant in VARIANTS:
-            _run_variant(args, variant, lambda *f: rows.append(f), solve=solve)
+            _run_variant(args, variant, lambda *f: rows.append(f), ctx=ctx)
     write_csv(args.output, header, rows)
     return 0
 
