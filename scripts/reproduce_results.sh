@@ -25,6 +25,13 @@ for fn in exp inv; do
   done
 done
 
+# second-seed inv/ill sweep (extended to k=300): pins the rounding-sensitive
+# erratic-phase transition as seed-dependent (REPORT.md §1)
+$RUN two_pass_lanczos_tpu.experiments.stability \
+  --function inv --scenario ill-conditioned --size 10000 \
+  --k-min 10 --k-max 300 --k-step 10 --seed 7 --cpu-f64 \
+  --output "$OUT/accuracy_inv_ill-conditioned_seed7.csv"
+
 for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")
   $RUN two_pass_lanczos_tpu.experiments.tradeoff \

@@ -5,6 +5,7 @@ must improve >= 10x over plain f32 vs the CPU f64 oracle. Measured in CI
 here; the recorded numbers live in REPORT.md §7 (improvement ~1e6x).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -49,13 +50,18 @@ class TestDFArithmetic:
         np.testing.assert_array_equal(
             np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
 
-    def test_two_prod_exact(self):
+    def test_two_prod_near_exact(self):
+        """two_prod is O(2^-48)-compensated, not bit-exact: the mask-split
+        form trades the last bit of the tail for immunity to FMA
+        contraction (which silently broke the bit-exact Veltkamp form —
+        see ops/df.py::_split and test_eft_survives_jit_fusion)."""
         a = jnp.asarray(self.a64, jnp.float32)
         b = jnp.asarray(self.b64, jnp.float32)
         p, e = two_prod(a, b)
         exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
-        np.testing.assert_array_equal(
-            np.asarray(p, np.float64) + np.asarray(e, np.float64), exact)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        rel = np.abs(got - exact) / np.maximum(np.abs(exact), 1e-300)
+        assert rel.max() < 2.0 ** -44, rel.max()
 
     def test_df_ops_near_f64(self):
         a, b = df_from_f64(self.a64), df_from_f64(self.b64)
@@ -123,9 +129,10 @@ def test_df_coefficients_beat_f32_at_k200_inv_ill():
 
     assert a_df * 10 < a_32, (a_df, a_32)
     assert b_df * 10 < b_32, (b_df, b_32)
-    # and df tracks the oracle at near-df precision in absolute terms
-    assert a_df < 1e-7, a_df
-    assert b_df < 1e-7, b_df
+    # and df tracks the oracle at near-f64 precision in absolute terms
+    # (measured 1.2e-14 / 5.6e-15 after the contraction-proof two_prod)
+    assert a_df < 1e-12, a_df
+    assert b_df < 1e-12, b_df
 
 
 def test_df_solve_matches_f64_error_level():
@@ -170,3 +177,26 @@ def test_df_breakdown():
     d = lanczos_pass_one_df(op, np.array([1.0, 0.0]), 5)
     assert d.steps() == 1
     np.testing.assert_allclose(d.alphas_f64(), [2.0], atol=1e-14)
+
+
+def test_eft_survives_jit_fusion():
+    """Regression for the XLA-CPU FMA-contraction hazard: under one jit,
+    LLVM re-derives a rounded product UNROUNDED at some use sites (fusion
+    duplicates expressions), which silently zeroed two-float error terms.
+    The mask-based split makes every partial product exact, so no compiler
+    transform can perturb two_prod. This exact chain (norm -> div ->
+    broadcast mul) was the observed failure (error 6.9e-9 -> 6.8e-16)."""
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(800)
+    bdf = df_from_f64(b)
+
+    @jax.jit
+    def v1_jit(bdf):
+        nb = df_dot(bdf, bdf)
+        nb = df_sqrt(nb)
+        inv = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), nb)
+        return df_mul(bdf, DF(jnp.broadcast_to(inv.hi, bdf.hi.shape),
+                              jnp.broadcast_to(inv.lo, bdf.lo.shape)))
+
+    err = np.abs(df_to_f64(v1_jit(bdf)) - b / np.linalg.norm(b)).max()
+    assert err < 1e-13, err

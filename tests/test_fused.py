@@ -274,3 +274,67 @@ def test_fused_matvec_fuzz(case, rng):
     y_ref = np.asarray(_xla_op(d, u, v, p).matvec(jnp.asarray(x)))
     np.testing.assert_allclose(y, y_ref, rtol=0,
                                atol=2e-5 * max(np.abs(y_ref).max(), 1.0))
+
+
+class TestCompensatedReduction:
+    """Two-float alpha/beta reductions (FusedKKTSolver(compensated=True))."""
+
+    def test_comp_dot_beats_plain_on_cancellation(self, rng):
+        """The compensated block sum recovers the f64 dot to ~f32 rounding
+        on cancellation-heavy data where the plain pairwise fold loses
+        digits."""
+        from two_pass_lanczos_tpu.ops.kkt_fused import (
+            _comp_block_sum, _tree_sum)
+        import jax
+
+        r = 256
+        base = rng.standard_normal((r // 2, 128))
+        # pair +x with -x*(1+eps-scale noise): true sum is tiny vs terms
+        x = np.concatenate([base, -base * (1 + 1e-7 * rng.standard_normal(
+            (r // 2, 128)))]).astype(np.float32)
+        y = np.ones((r, 128), np.float32)
+        truth = float(np.sum(x.astype(np.float64)))
+
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        hi, lo = jax.jit(_comp_block_sum)(xj, yj)
+        comp = float(np.float64(np.asarray(hi)) + np.float64(np.asarray(lo)))
+        plain = float(jax.jit(lambda a, b: _tree_sum(a * b))(xj, yj))
+        assert abs(comp - truth) <= abs(plain - truth)
+        assert abs(comp - truth) < 1e-4 * np.abs(x).sum() * 1.2e-7
+
+    def test_compensated_solver_matches_plain(self, rng):
+        """compensated=True must agree with the plain kernels to f32
+        rounding at small k (same trajectory regime) and solve correctly."""
+        d, u, v, p = _random_kkt(rng, m=900, p=200)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        k = 12
+        s0 = FusedKKTSolver(d, u, v, p, interpret=True)
+        s1 = FusedKKTSolver(d, u, v, p, interpret=True, compensated=True)
+        x0, dec0 = s0.solve(b, k=k, f="inv")
+        x1, dec1 = s1.solve(b, k=k, f="inv")
+        assert int(dec0.steps_taken) == int(dec1.steps_taken) == k
+        np.testing.assert_allclose(np.asarray(dec1.alphas),
+                                   np.asarray(dec0.alphas), rtol=2e-5)
+        np.testing.assert_allclose(x1, x0, rtol=0,
+                                   atol=1e-4 * np.abs(x0).max())
+
+    def test_compensated_alphas_closer_to_f64(self, rng):
+        """At small k (pre-divergence regime) the compensated coefficients
+        must track the f64 oracle at least as well as the plain kernels."""
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=1200, p=300)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        k = 6
+        op64 = _xla_op(d.astype(np.float64), u, v, p)
+        d64, _ = pass_one_scan(op64.matvec, jnp.asarray(b, jnp.float64), k,
+                               emit_basis=False)
+        a64 = np.asarray(d64.alphas, np.float64)
+
+        dec_p = FusedKKTSolver(d, u, v, p, interpret=True).pass_one(
+            FusedKKTSolver(d, u, v, p, interpret=True).pack(b), k)
+        s_c = FusedKKTSolver(d, u, v, p, interpret=True, compensated=True)
+        dec_c = s_c.pass_one(s_c.pack(b), k)
+        err_p = np.abs(np.asarray(dec_p.alphas, np.float64) - a64).max()
+        err_c = np.abs(np.asarray(dec_c.alphas, np.float64) - a64).max()
+        assert err_c <= err_p * 1.5, (err_c, err_p)

@@ -1,0 +1,130 @@
+"""Double-float fused kernels (ops/kkt_fused_df.py): interpret-mode suite.
+
+Shapes are chosen to be NON-powers-of-two wherever possible: the original
+pairwise-fold implementation silently broadcast (1, w) against (2, w) on odd
+counts (caught only on the real chip because the first interpret tests used
+power-of-two R/P2 — regression pinned by test_non_pow2_shapes).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.core import pass_one_scan
+from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
+
+
+def _kkt(rng, m, p):
+    u = rng.integers(0, p, m).astype(np.int32)
+    v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+    d = rng.uniform(0.5, 5.0, m)
+    return d, u, v
+
+
+def _truth_matvec(d, u, v, p, x):
+    m = len(d)
+    y = np.zeros(m + p)
+    y[:m] = d * x[:m] + x[m + u] - x[m + v]
+    np.add.at(y, m + u, x[:m])
+    np.add.at(y, m + v, -x[:m])
+    return y
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_df_fused_pass_one_tracks_f64(rng):
+    # m=5000, p=300 -> R=384 (3 chunks), P2=4: non-pow2 row fold exercised
+    m, p = 5000, 300
+    d, u, v = _kkt(rng, m, p)
+    b = rng.standard_normal(m + p)
+    k = 25
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    ah, al, bh, bl, bn2, st = s.pass_one(s.pack(b), k)
+    assert int(st[0]) == k
+    a64 = np.asarray(ah, np.float64) + np.asarray(al, np.float64)
+    b64 = np.asarray(bh, np.float64) + np.asarray(bl, np.float64)
+
+    op64 = tpl.KKTOperator(d=jnp.asarray(d), arc_u=jnp.asarray(u),
+                           arc_v=jnp.asarray(v), num_nodes=p)
+    dref, _ = pass_one_scan(op64.matvec, jnp.asarray(b), k, emit_basis=False)
+    np.testing.assert_allclose(a64, np.asarray(dref.alphas)[:k],
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(b64[: k - 1], np.asarray(dref.betas)[: k - 1],
+                               rtol=0, atol=1e-11)
+    bn = float(np.asarray(bn2)[0]) + float(np.asarray(bn2)[1])
+    assert abs(bn - np.linalg.norm(b)) < 1e-12 * np.linalg.norm(b)
+
+
+def test_df_fused_solve_inv(rng):
+    m, p = 3000, 260  # P2 = 4, R = 384
+    d, u, v = _kkt(rng, m, p)
+    n = m + p
+    x_true = np.full(n, 1.0 / np.sqrt(n))
+    b = _truth_matvec(d, u, v, p, x_true)
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    x, (a64, b64, steps) = s.solve(b, k=60, f="inv")
+    rel = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+    # Krylov-limited; compare against the f64 generic solve's error level
+    op64 = tpl.KKTOperator(d=jnp.asarray(d), arc_u=jnp.asarray(u),
+                           arc_v=jnp.asarray(v), num_nodes=p)
+    x64 = np.asarray(tpl.solve_fAb(op64, jnp.asarray(b), k=60, f="inv",
+                                   method="two_pass"))
+    rel64 = np.linalg.norm(x64 - x_true) / np.linalg.norm(x_true)
+    assert rel < max(2.0 * rel64, 1e-12), (rel, rel64)
+
+
+def test_df_fused_matches_generic_df_trajectory(rng):
+    """Same working precision => the trajectories must agree tightly
+    (unlike cross-precision comparisons). Checks fused df vs XLA df."""
+    from two_pass_lanczos_tpu.algorithms.df import (
+        DFKKTOperator, lanczos_pass_one_df)
+
+    m, p = 2500, 200
+    d, u, v = _kkt(rng, m, p)
+    b = rng.standard_normal(m + p)
+    k = 20
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    ah, al, _, _, _, _ = s.pass_one(s.pack(b), k)
+    a_fused = np.asarray(ah, np.float64) + np.asarray(al, np.float64)
+    ddf = lanczos_pass_one_df(DFKKTOperator.from_f64(d, u, v, p), b, k)
+    np.testing.assert_allclose(a_fused, ddf.alphas_f64(), rtol=0, atol=1e-11)
+
+
+def test_df_fused_breakdown_and_zero_b(rng):
+    m, p = 600, 100
+    d, u, v = _kkt(rng, m, p)
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    x, (a64, b64, steps) = s.solve(np.zeros(m + p), k=5, f="inv")
+    assert steps == 0
+    np.testing.assert_array_equal(x, 0.0)
+
+
+def test_df_fused_exp(rng):
+    m, p = 1500, 130
+    d, u, v = _kkt(rng, m, p)
+    n = m + p
+    b = rng.standard_normal(n)
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    x, _ = s.solve(b, k=40, f="exp")
+    assert np.all(np.isfinite(x))
+    # spot check vs dense f64 expm action via eigendecomposition
+    a_dense = np.zeros((n, n))
+    a_dense[np.arange(m), np.arange(m)] = d
+    a_dense[np.arange(m), m + u] += 1
+    a_dense[np.arange(m), m + v] -= 1
+    a_dense[m + u, np.arange(m)] += 1
+    a_dense[m + v, np.arange(m)] -= 1
+    lam, q = np.linalg.eigh(a_dense)
+    x_true = q @ (np.exp(lam) * (q.T @ b))
+    rel = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-2, rel  # Krylov-limited at k=40 on this spectrum
+
+
+def test_df_fused_vmem_guard():
+    with pytest.raises(ValueError, match="arcs"):
+        DFFusedKKTSolver(np.ones(900_001), np.zeros(900_001, np.int32),
+                         np.ones(900_001, np.int32), 2)

@@ -73,6 +73,7 @@ from two_pass_lanczos_tpu.algorithms.df import (
     solve_fAb_df,
 )
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
 
 __version__ = "0.1.0"
@@ -111,6 +112,7 @@ __all__ = [
     # compensated-precision (double-float) TPU path
     "DFDiagonalOperator",
     "DFKKTOperator",
+    "DFFusedKKTSolver",
     "lanczos_pass_one_df",
     "solve_fAb_df",
     # errors

@@ -58,6 +58,21 @@ __all__ = [
 _SPLIT = np.float32(4097.0)  # 2**12 + 1 (f32 has a 24-bit significand)
 
 
+def _ob(x):
+    """Optimization barrier guarding error-free transformations.
+
+    XLA's algebraic simplifier applies non-IEEE-exact reassociations like
+    ``(a + b) - a → b`` and ``e - ((s + e) - s) → 0`` in some fusion
+    contexts (observed on CPU with scalar/broadcast operands: it zeroed the
+    ``fast_two_sum`` error term, silently degrading double-float results to
+    ~f32 accuracy). Every EFT intermediate that could complete such a
+    pattern is routed through ``lax.optimization_barrier`` so the rewrite
+    cannot see it. The barrier emits no computation — it only pins the
+    value. Pinned by ``tests/test_df.py::test_eft_survives_jit_fusion``.
+    """
+    return jax.lax.optimization_barrier(x)
+
+
 class DF(NamedTuple):
     """A double-float value/array: the unevaluated exact sum ``hi + lo``."""
 
@@ -67,32 +82,52 @@ class DF(NamedTuple):
 
 def two_sum(a, b) -> Tuple[jax.Array, jax.Array]:
     """Exact addition: returns (s, e) with s = fl(a+b) and a+b = s+e."""
-    s = a + b
-    bb = s - a
+    s = _ob(a + b)
+    bb = _ob(s - a)
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a, b) -> Tuple[jax.Array, jax.Array]:
     """Exact addition assuming |a| >= |b| (3 flops)."""
-    s = a + b
+    s = _ob(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """Split ``a`` into a 12-bit-significand head and a ≤12-bit tail by
+    MASKING the low 12 mantissa bits (integer ops).
+
+    Why not Veltkamp's ``t = 4097·a; hi = t − (t − a)``: XLA CPU's LLVM
+    backend contracts mul→sub chains into FMAs *per use site* (fusion
+    duplicates expressions), so a rounded product can be observed unrounded
+    by one consumer and rounded by another — which silently breaks any EFT
+    whose algebra depends on ``fl(x·y)`` (measured: two-float results
+    degraded to ~f32). Masking uses no FP rounding at all, so no compiler
+    transform can perturb it, and every partial product of two 12-bit heads
+    or tails is EXACT in f32 (≤24-bit results) — making the whole
+    ``two_prod`` immune to FMA contraction."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-4096)), jnp.float32)  # ~0xFFF
     return hi, a - hi
 
 
 def two_prod(a, b) -> Tuple[jax.Array, jax.Array]:
-    """Exact multiplication (Dekker): returns (p, e) with a·b = p + e."""
-    p = a * b
+    """Compensated multiplication: returns (p, e) with p + e = a·b up to
+    O(2⁻⁴⁸)·|a·b| (the two roundings in the tail recombination; all four
+    partial products are exact — see :func:`_split`). FMA-contraction-proof
+    by construction."""
     ah, al = _split(a)
     bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    p0 = ah * bh  # exact: 12b × 12b
+    t1 = ah * bl  # exact
+    t2 = al * bh  # exact
+    r2 = al * bl  # exact
+    s1, e1 = two_sum(t1, t2)
+    s2, e2 = two_sum(p0, s1)
+    return fast_two_sum(s2, (e1 + e2) + r2)
 
 
 # ---------------------------------------------------------------------------

@@ -409,6 +409,114 @@ def _dot_rep(au, an, bu, bn):
     return _tree_sum(au * bu) + jnp.sum(an * bn)
 
 
+# -- compensated (two-float) reduction option ------------------------------
+
+def _ob(x):
+    """Identity hook at the EFT pinch points (kernel-side).
+
+    ``lax.optimization_barrier`` has no Mosaic lowering, and it is not
+    needed here: the only compiler transform measured to break the
+    error-free transformations is LLVM FMA contraction of *rounded
+    products* on the XLA CPU path (interpret mode), which the mask-based
+    split neutralizes by construction (every partial product is exact —
+    see ``_mask_split``). Plain add-chain EFTs (two_sum) are preserved by
+    XLA and Mosaic as-is (pinned by
+    ``tests/test_df.py::test_eft_survives_jit_fusion`` and the fused df
+    accuracy tests)."""
+    return x
+
+
+def _two_sum_k(a, b):
+    """Knuth two_sum (exact addition) for the kernel helpers."""
+    s = _ob(a + b)
+    bb = _ob(s - a)
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _mask_split(a):
+    """12-bit significand split by mantissa masking (integer ops): immune
+    to the FMA-contraction hazard that breaks Veltkamp's multiplicative
+    split on XLA CPU — see ``ops/df.py::_split`` for the full story. All
+    partial products of the split pieces are exact in f32.
+
+    Mosaic's ``tpu.bitcast`` is vector-only, so scalars ride through a
+    (1, 128) broadcast (one vreg; the kernel's scalar df ops are O(k))."""
+    scalar = getattr(a, "ndim", 0) == 0
+    v = jnp.broadcast_to(a, (1, LANE)) if scalar else a
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-4096)), jnp.float32)
+    if scalar:
+        hi = hi[0, 0]
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Compensated product: p + e = a·b to O(2^-48); contraction-proof
+    (all partial products exact — see _mask_split)."""
+    ah, al = _mask_split(a)
+    bh, bl = _mask_split(b)
+    p0 = ah * bh
+    t1 = ah * bl
+    t2 = al * bh
+    r2 = al * bl
+    s1, e1 = _two_sum_k(t1, t2)
+    s2, e2 = _two_sum_k(p0, s1)
+    tail = (e1 + e2) + r2
+    hi = _ob(s2 + tail)
+    lo = tail - (hi - s2)
+    return hi, lo
+
+
+def _df_add2(ah, al, bh, bl):
+    """Two-float addition (Knuth two_sum + renormalize)."""
+    s = _ob(ah + bh)
+    bb = _ob(s - ah)
+    e = (ah - (s - bb)) + (bh - bb) + (al + bl)
+    hi = _ob(s + e)
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _comp_block_sum(x, y):
+    """Σ x·y over an (R, 128) block as a two-float pair: exact products,
+    pairwise two-float fold over rows then lanes — reduction error O(ε²·N)
+    instead of the plain fold's O(ε·log N)."""
+    ph, pe = _two_prod(x, y)
+    rows = ph.shape[0]
+    xh = xl = None  # odd leftovers
+    while rows > 1:
+        if rows % 2:
+            lh, ll = ph[rows - 1:rows, :], pe[rows - 1:rows, :]
+            if xh is None:
+                xh, xl = lh, ll
+            else:
+                xh, xl = _df_add2(xh, xl, lh, ll)
+            rows -= 1
+        h = rows // 2
+        ph, pe = _df_add2(ph[:h], pe[:h], ph[h:rows], pe[h:rows])
+        rows = h
+    if xh is not None:
+        ph, pe = _df_add2(ph, pe, xh, xl)
+    w = ph.shape[1]
+    while w > 1:
+        h = w // 2
+        ph, pe = _df_add2(ph[:, :h], pe[:, :h], ph[:, h:w], pe[:, h:w])
+        w = h
+    return ph[0, 0], pe[0, 0]
+
+
+def _dot_rep_comp(au, an, bu, bn):
+    """Compensated `_dot_rep`: the α/β reductions extracted at ~f32 rounding
+    (VERDICT r1 item 4's in-kernel Kahan/two-float accumulation; the full
+    double-float recurrence lives in ``algorithms/df.py``)."""
+    s1h, s1l = _comp_block_sum(au, bu)
+    s2h, s2l = _comp_block_sum(an, bn)
+    hi, lo = _df_add2(s1h, s1l, s2h, s2l)
+    return hi + lo
+
+
 # ---------------------------------------------------------------------------
 # Pass one: k recurrence steps, scalars only
 # ---------------------------------------------------------------------------
@@ -420,9 +528,10 @@ def _pass_one_kernel(
     alphas, betas, bnorm, steps_out,
     # scratch
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
-    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v, comp=False,
 ):
-    nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
+    dot = _dot_rep_comp if comp else _dot_rep
+    nb2 = dot(bu[:], bn[:], bu[:], bn[:])
     b_norm = jnp.sqrt(nb2)
     bnorm[0] = b_norm
     zero_b = b_norm <= ztol
@@ -446,11 +555,11 @@ def _pass_one_kernel(
         wu[:] = wu[:] - beta_prev * vpu[:]
         wv[:] = wv[:] - beta_prev * vpv[:]
         wn[:] = wn[:] - beta_prev * vpn[:]
-        alpha = _dot_rep(vcu[:], vcn[:], wu[:], wn[:])
+        alpha = dot(vcu[:], vcn[:], wu[:], wn[:])
         wu[:] = wu[:] - alpha * vcu[:]
         wv[:] = wv[:] - alpha * vcv[:]
         wn[:] = wn[:] - alpha * vcn[:]
-        beta = jnp.sqrt(_dot_rep(wu[:], wn[:], wu[:], wn[:]))
+        beta = jnp.sqrt(dot(wu[:], wn[:], wu[:], wn[:]))
         breakdown = beta <= tol
         advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
         alphas[j] = jnp.where(executed, alpha, 0.0)
@@ -484,7 +593,7 @@ def _pass_one_basis_kernel(
     alphas, betas, bnorm, steps_out, basis_u, basis_n,
     # scratch
     su, sv, sn, sem_u, sem_n,
-    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v, comp=False,
 ):
     """Pass one + per-step DMA of v_{j+1} (u copy + node block) to HBM.
 
@@ -502,7 +611,8 @@ def _pass_one_basis_kernel(
     vpu, vcu, wu = su.at[0], su.at[1], su.at[2]
     vpv, vcv, wv = sv.at[0], sv.at[1], sv.at[2]
     vpn, vcn, wn = sn.at[0], sn.at[1], sn.at[2]
-    nb2 = _dot_rep(bu[:], bn[:], bu[:], bn[:])
+    dot = _dot_rep_comp if comp else _dot_rep
+    nb2 = dot(bu[:], bn[:], bu[:], bn[:])
     b_norm = jnp.sqrt(nb2)
     bnorm[0] = b_norm
     zero_b = b_norm <= ztol
@@ -532,11 +642,11 @@ def _pass_one_basis_kernel(
         wu[:] = wu[:] - beta_prev * vpu[:]
         wv[:] = wv[:] - beta_prev * vpv[:]
         wn[:] = wn[:] - beta_prev * vpn[:]
-        alpha = _dot_rep(vcu[:], vcn[:], wu[:], wn[:])
+        alpha = dot(vcu[:], vcn[:], wu[:], wn[:])
         wu[:] = wu[:] - alpha * vcu[:]
         wv[:] = wv[:] - alpha * vcv[:]
         wn[:] = wn[:] - alpha * vcn[:]
-        beta = jnp.sqrt(_dot_rep(wu[:], wn[:], wu[:], wn[:]))
+        beta = jnp.sqrt(dot(wu[:], wn[:], wu[:], wn[:]))
         breakdown = beta <= tol
         advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
         alphas[j] = jnp.where(executed, alpha, 0.0)
@@ -755,7 +865,12 @@ class FusedKKTSolver:
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  dtype=np.float32, interpret: bool = False,
-                 windowed: bool = False):
+                 windowed: bool = False, compensated: bool = False):
+        # ``compensated=True`` switches the in-kernel alpha/beta reductions
+        # to two-float (exact-product + two-sum fold) accumulation —
+        # coefficients extracted at ~f32 rounding instead of ~log2(R)*eps.
+        # Measured cost/accuracy in PERF.md; the full double-float
+        # recurrence (near-f64 trajectories) is algorithms/df.py.
         if np.dtype(dtype) != np.float32:
             raise ValueError(
                 "FusedKKTSolver kernels are f32 (the TPU-native dtype); use "
@@ -774,6 +889,7 @@ class FusedKKTSolver:
             quad_costs, arc_u, arc_v, num_nodes, dtype=dtype,
             windowed=windowed)
         self.interpret = interpret
+        self.compensated = bool(compensated)
         lay = self.layout
         self.n = lay.m + lay.p
         as_dev = jnp.asarray
@@ -851,7 +967,7 @@ class FusedKKTSolver:
         kern = functools.partial(
             _pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
             tol=self.tol, ztol=self.ztol,
-            wg_u=lay.u.wg, wg_v=lay.v.wg)
+            wg_u=lay.u.wg, wg_v=lay.v.wg, comp=self.compensated)
         alphas, betas, bnorm, steps = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],
@@ -879,7 +995,7 @@ class FusedKKTSolver:
         kern = functools.partial(
             _pass_one_basis_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
             tol=self.tol, ztol=self.ztol,
-            wg_u=lay.u.wg, wg_v=lay.v.wg)
+            wg_u=lay.u.wg, wg_v=lay.v.wg, comp=self.compensated)
         alphas, betas, bnorm, steps, basis_u, basis_n = pl.pallas_call(
             kern,
             in_specs=[vm] * 11 + [sm, sm],

@@ -1,0 +1,725 @@
+"""Double-float fused Lanczos kernels: near-f64 trajectories at fused speed.
+
+Composes the two production ideas of this framework:
+
+* the **fused VMEM-resident pass** (``ops/kkt_fused.py``): one Pallas kernel
+  per Lanczos pass, dual sorted arc layout, zero per-step HBM traffic;
+* the **double-float arithmetic** (``ops/df.py`` / ``algorithms/df.py``):
+  every value an unevaluated f32 pair (hi, lo), every operation an
+  error-free transformation — ~49-bit effective mantissa.
+
+Here the *entire recurrence inside the kernel* — matvec (exact-product
+diagonal term, exact hi/lo gathers, compensated segmented-sum scatter),
+orthogonalization axpys, inner products, normalization — runs in
+double-float. The result: coefficient trajectories that track the CPU f64
+oracle at ~1e-9 (vs f32's O(1) divergence at k≈100 on indefinite spectra)
+while keeping the fused design's zero-dispatch, zero-HBM-per-step
+structure. The reference can only reach f64 accuracy on its sequential CPU
+path (~5.3 s at k=500/500k arcs); this kernel delivers the same accuracy
+class on-TPU at fused-kernel speed.
+
+VMEM budget: state doubles (vector planes ×2, d stored as a pair), ~120 B
+per padded slot — the resident cap is ~0.8M arcs/chip (vs 1.4M for f32).
+
+Numerical semantics mirror ``algorithms/df.py`` step for step (same op
+order, df reciprocal-multiply, breakdown at 1000·2⁻⁴⁹, stored-β replay in
+pass two), so pass two regenerates pass one's basis bit-identically in both
+hi and lo planes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from two_pass_lanczos_tpu.ops.kkt_fused import (
+    CHUNK,
+    LANE,
+    VMEM_LIMIT,
+    SortedKKTLayout,
+    _df_add2,
+    _ob,
+    _two_prod,
+    _window_gather,
+)
+
+__all__ = ["DFFusedKKTSolver", "DF_BREAKDOWN_TOL"]
+
+#: breakdown tolerance at double-float working precision (1000 · 2⁻⁴⁹).
+DF_BREAKDOWN_TOL = 1000.0 * 2.0 ** -49
+
+
+# ---------------------------------------------------------------------------
+# In-kernel double-float building blocks (all slice-only, VPU-friendly)
+# ---------------------------------------------------------------------------
+
+def _df_lane_fold(h, l):
+    """Pairwise df fold over the lane axis: (R, W) pair -> (R, 1) pair.
+
+    Odd widths accumulate the leftover column separately — a naive halving
+    fold would silently BROADCAST (R, 1) against (R, 2) and corrupt the
+    sum (hit in practice at non-power-of-two shapes)."""
+    w = h.shape[1]
+    xh = xl = None
+    while w > 1:
+        if w % 2:
+            if xh is None:
+                xh, xl = h[:, w - 1:w], l[:, w - 1:w]
+            else:
+                xh, xl = _df_add2(xh, xl, h[:, w - 1:w], l[:, w - 1:w])
+            w -= 1
+        half = w // 2
+        h, l = _df_add2(h[:, :half], l[:, :half], h[:, half:w], l[:, half:w])
+        w = half
+    if xh is not None:
+        h, l = _df_add2(h, l, xh, xl)
+    return h, l
+
+
+def _df_row_fold(h, l):
+    """Pairwise df fold over the row axis: (R, C) pair -> (1, C) pair.
+    Same odd-leftover handling as :func:`_df_lane_fold` (R is a chunk-count
+    multiple, frequently NOT a power of two)."""
+    r = h.shape[0]
+    xh = xl = None
+    while r > 1:
+        if r % 2:
+            if xh is None:
+                xh, xl = h[r - 1:r], l[r - 1:r]
+            else:
+                xh, xl = _df_add2(xh, xl, h[r - 1:r], l[r - 1:r])
+            r -= 1
+        half = r // 2
+        h, l = _df_add2(h[:half], l[:half], h[half:r], l[half:r])
+        r = half
+    if xh is not None:
+        h, l = _df_add2(h, l, xh, xl)
+    return h, l
+
+
+def _df_dot_block(ah, al, bh, bl):
+    """Compensated Σ a·b over an (R, 128) df pair: df products + pairwise
+    df folds; returns a scalar (hi, lo) pair."""
+    ph, pe = _two_prod(ah, bh)
+    pe = pe + (ah * bl + al * bh)  # al*bl ~ 2^-98, below df resolution
+    ph, pe = _df_lane_fold(ph, pe)
+    ph, pe = _df_row_fold(ph, pe)
+    return ph[0, 0], pe[0, 0]
+
+
+def _df_scalar_sqrt(xh, xl):
+    """Scalar df sqrt (Karp–Markstein); masks non-positive inputs to 0."""
+    safe = jnp.where(xh > 0, xh, jnp.float32(1.0))
+    s = jnp.sqrt(safe)
+    p, e = _two_prod(s, s)
+    rh, rl = _df_add2(xh, xl, -p, -e)
+    c = rh / (2.0 * s)
+    hi = _ob(s + c)
+    lo = c - (hi - s)
+    pos = xh > 0
+    z = jnp.float32(0.0)
+    return jnp.where(pos, hi, z), jnp.where(pos, lo, z)
+
+
+def _df_scalar_recip(yh, yl):
+    """Scalar df reciprocal via two Newton corrections."""
+    q1 = jnp.float32(1.0) / yh
+    # r = 1 - y*q1 in df
+    p, e = _two_prod(yh, q1)
+    e = e + yl * q1
+    rh, rl = _df_add2(jnp.float32(1.0), jnp.float32(0.0), -p, -e)
+    q2 = rh / yh
+    p2, e2 = _two_prod(yh, q2)
+    e2 = e2 + yl * q2
+    r2h, _ = _df_add2(rh, rl, -p2, -e2)
+    q3 = r2h / yh
+    s = _ob(q1 + q2)
+    t = q2 - (s - q1)
+    hi = _ob(s + (t + q3))
+    lo = (t + q3) - (hi - s)
+    return hi, lo
+
+
+def _df_axpy(wh, wl, a_h, a_l, xh, xl):
+    """(wh, wl) -= (a_h, a_l)·(xh, xl), elementwise with scalar a."""
+    ph, pe = _two_prod(xh, a_h)
+    pe = pe + (xh * a_l + xl * a_h)
+    return _df_add2(wh, wl, -ph, -pe)
+
+
+def _df_scale(xh, xl, a_h, a_l):
+    """(xh, xl)·(a_h, a_l) with scalar a (reciprocal-multiply replay)."""
+    ph, pe = _two_prod(xh, a_h)
+    pe = pe + (xh * a_l + xl * a_h)
+    hi = _ob(ph + pe)
+    lo = pe - (hi - ph)
+    return hi, lo
+
+
+def _df_emit_matvec(orders, xnh_ref, xnl_ref, wnh_ref, wnl_ref, *, p_hi,
+                    c_chunks):
+    """w = A·x in the rep layout, fully double-float.
+
+    ``orders`` entries: (xh, xl, wh, wl, dh_ref, dl_ref, es_ref, eo_ref,
+    gn_ref, win_ref, sign). Gathers move hi and lo planes exactly; the
+    incidence scatter is a compensated two-level segmented sum.
+    """
+    wnh_ref[:] = jnp.zeros(wnh_ref.shape, jnp.float32)
+    wnl_ref[:] = jnp.zeros(wnl_ref.shape, jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
+    for (xh_r, xl_r, wh_r, wl_r, dh_r, dl_r, es_r, eo_r, gn_r, win_r,
+         sign) in orders:
+
+        def body(c, _, xh_r=xh_r, xl_r=xl_r, wh_r=wh_r, wl_r=wl_r,
+                 dh_r=dh_r, dl_r=dl_r, es_r=es_r, eo_r=eo_r, gn_r=gn_r,
+                 win_r=win_r, sign=sign):
+            sl = pl.ds(c * CHUNK, CHUNK)
+            xh = xh_r[sl, :]
+            xl = xl_r[sl, :]
+            es = es_r[sl, :]
+            eo = eo_r[sl, :]
+            r0 = win_r[c]
+            gn = gn_r[c][:, 0:1]  # (128, 1) rel node ids
+
+            # gathers: exact moves of both planes
+            gsh = _window_gather(xnh_ref, es, r0, 2)
+            gsl = _window_gather(xnl_ref, es, r0, 2)
+            goh = _window_gather(xnh_ref, eo, 0, p_hi)
+            gol = _window_gather(xnl_ref, eo, 0, p_hi)
+
+            # y = d⊗x + sign·(gs ⊖ go)
+            ph, pe = _two_prod(dh_r[sl, :], xh)
+            pe = pe + (dh_r[sl, :] * xl + dl_r[sl, :] * xh)
+            th, tl = _df_add2(gsh, gsl, -goh, -gol)
+            yh, yl = _df_add2(ph, pe, sign * th, sign * tl)
+            wh_r[sl, :] = yh
+            wl_r[sl, :] = yl
+
+            # compensated segmented-sum scatter: df lane fold per group row,
+            # then masked df row folds into the chunk's 256-node window
+            rsh, rsl = _df_lane_fold(xh, xl)  # (128, 1)
+            mlo = (gn == lanes)
+            z = jnp.float32(0.0)
+            slh, sll = _df_row_fold(jnp.where(mlo, rsh, z),
+                                    jnp.where(mlo, rsl, z))
+            mhi = (gn - LANE == lanes)
+            shh, shl = _df_row_fold(jnp.where(mhi, rsh, z),
+                                    jnp.where(mhi, rsl, z))
+            ah, al = _df_add2(wnh_ref[pl.ds(r0, 1), :],
+                              wnl_ref[pl.ds(r0, 1), :],
+                              sign * slh, sign * sll)
+            wnh_ref[pl.ds(r0, 1), :] = ah
+            wnl_ref[pl.ds(r0, 1), :] = al
+            bh2, bl2 = _df_add2(wnh_ref[pl.ds(r0 + 1, 1), :],
+                                wnl_ref[pl.ds(r0 + 1, 1), :],
+                                sign * shh, sign * shl)
+            wnh_ref[pl.ds(r0 + 1, 1), :] = bh2
+            wnl_ref[pl.ds(r0 + 1, 1), :] = bl2
+            return 0
+
+        jax.lax.fori_loop(0, c_chunks, body, 0)
+
+
+def _df_dot_rep(auh, aul, anh, anl, buh, bul, bnh, bnl):
+    """df inner product in the rep layout (arc block once + node block)."""
+    s1h, s1l = _df_dot_block(auh, aul, buh, bul)
+    s2h, s2l = _df_dot_block(anh, anl, bnh, bnl)
+    return _df_add2(s1h, s1l, s2h, s2l)
+
+
+# -- chunk-wise ref helpers -------------------------------------------------
+#
+# Every full-(R, 128) df expression would materialize ~8-15 R-sized
+# temporaries (the split/EFT intermediates), which the Mosaic compiler
+# spills — at 500k arcs the first full-array version needed 136 MB of VMEM.
+# Processing CHUNK rows at a time bounds temporaries to (128, 128) tiles.
+
+def _for_chunks(c_chunks, fn):
+    def body(c, _):
+        fn(pl.ds(c * CHUNK, CHUNK))
+        return 0
+    jax.lax.fori_loop(0, c_chunks, body, 0)
+
+
+def _df_axpy_ref(wh, wl, a_h, a_l, xh, xl, c_chunks):
+    """(wh, wl) -= a·(xh, xl), chunk-wise in place."""
+    def fn(sl):
+        h, l = _df_axpy(wh[sl, :], wl[sl, :], a_h, a_l, xh[sl, :], xl[sl, :])
+        wh[sl, :] = h
+        wl[sl, :] = l
+    _for_chunks(c_chunks, fn)
+
+
+def _df_scale_ref(dsth, dstl, srch, srcl, a_h, a_l, c_chunks):
+    """dst = a·src, chunk-wise."""
+    def fn(sl):
+        h, l = _df_scale(srch[sl, :], srcl[sl, :], a_h, a_l)
+        dsth[sl, :] = h
+        dstl[sl, :] = l
+    _for_chunks(c_chunks, fn)
+
+
+def _df_copy_ref(dsth, dstl, srch, srcl, c_chunks):
+    def fn(sl):
+        dsth[sl, :] = srch[sl, :]
+        dstl[sl, :] = srcl[sl, :]
+    _for_chunks(c_chunks, fn)
+
+
+def _df_dot_ref(ah, al, bh, bl, c_chunks):
+    """Σ a·b over an (R, 128) ref pair.
+
+    Per chunk only the df PRODUCTS are formed and df-accumulated into a
+    (128, 128) tile pair; the expensive lane/row fold (≈7 full-width levels
+    — lane-halving does NOT shrink VPU cost) runs ONCE at the end instead
+    of once per chunk."""
+    z = jnp.zeros((CHUNK, LANE), jnp.float32)
+
+    def body(c, carry):
+        th, tl = carry
+        sl = pl.ds(c * CHUNK, CHUNK)
+        ph, pe = _two_prod(ah[sl, :], bh[sl, :])
+        pe = pe + (ah[sl, :] * bl[sl, :] + al[sl, :] * bh[sl, :])
+        return _df_add2(th, tl, ph, pe)
+
+    th, tl = jax.lax.fori_loop(0, c_chunks, body, (z, z))
+    th, tl = _df_lane_fold(th, tl)
+    th, tl = _df_row_fold(th, tl)
+    return th[0, 0], tl[0, 0]
+
+
+def _df_axpy_dot_ref(wh, wl, a_h, a_l, xh, xl, gh, gl, c_chunks):
+    """Fused ``w -= a·x`` (in place) + tile-accumulated ``Σ g·w'``: one pass
+    over the data instead of two, dot folded once at the end. ``gh=None``
+    accumulates ``Σ w'·w'`` (the β² reduction)."""
+    z = jnp.zeros((CHUNK, LANE), jnp.float32)
+
+    def body(c, carry):
+        th, tl = carry
+        sl = pl.ds(c * CHUNK, CHUNK)
+        h, l = _df_axpy(wh[sl, :], wl[sl, :], a_h, a_l, xh[sl, :], xl[sl, :])
+        wh[sl, :] = h
+        wl[sl, :] = l
+        if gh is None:
+            ph, pe = _two_prod(h, h)
+            pe = pe + 2.0 * (h * l)
+        else:
+            ph, pe = _two_prod(gh[sl, :], h)
+            pe = pe + (gh[sl, :] * l + gl[sl, :] * h)
+        return _df_add2(th, tl, ph, pe)
+
+    th, tl = jax.lax.fori_loop(0, c_chunks, body, (z, z))
+    th, tl = _df_lane_fold(th, tl)
+    th, tl = _df_row_fold(th, tl)
+    return th[0, 0], tl[0, 0]
+
+
+def _df_axpy2_ref(wh, wl, b_h, b_l, xh, xl, a_h, a_l, yh, yl, c_chunks):
+    """Fused double axpy: ``w -= b·x; w -= a·y`` in one pass per chunk."""
+    def fn(sl):
+        h, l = _df_axpy(wh[sl, :], wl[sl, :], b_h, b_l, xh[sl, :], xl[sl, :])
+        h, l = _df_axpy(h, l, a_h, a_l, yh[sl, :], yl[sl, :])
+        wh[sl, :] = h
+        wl[sl, :] = l
+    _for_chunks(c_chunks, fn)
+
+
+def _df_dot_rep_ref(auh, aul, anh, anl, buh, bul, bnh, bnl, c_chunks):
+    """Rep-layout df inner product on refs (arc block chunked, node full)."""
+    s1h, s1l = _df_dot_ref(auh, aul, buh, bul, c_chunks)
+    s2h, s2l = _df_dot_block(anh[:], anl[:], bnh[:], bnl[:])
+    return _df_add2(s1h, s1l, s2h, s2l)
+
+
+# ---------------------------------------------------------------------------
+# Pass one (scalars only)
+# ---------------------------------------------------------------------------
+
+def _df_pass_one_kernel(
+    duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
+    buh, bul, bvh, bvl, bnh, bnl, winu, winv,
+    alphas_h, alphas_l, betas_h, betas_l, bnorm2, steps_out,
+    su, sv, sn,
+    *, k, p_hi, c_chunks, tol, ztol,
+):
+    # stacked scratches: slots 0..2 = hi {v_prev, v_curr, w}; 3..5 = lo
+    vpuh, vcuh, wuh = su.at[0], su.at[1], su.at[2]
+    vpul, vcul, wul = su.at[3], su.at[4], su.at[5]
+    vpvh, vcvh, wvh = sv.at[0], sv.at[1], sv.at[2]
+    vpvl, vcvl, wvl = sv.at[3], sv.at[4], sv.at[5]
+    vpnh, vcnh, wnh = sn.at[0], sn.at[1], sn.at[2]
+    vpnl, vcnl, wnl = sn.at[3], sn.at[4], sn.at[5]
+
+    nbh, nbl = _df_dot_rep_ref(buh, bul, bnh, bnl,
+                               buh, bul, bnh, bnl, c_chunks)
+    b_nh, b_nl = _df_scalar_sqrt(nbh, nbl)
+    bnorm2[0] = b_nh
+    bnorm2[1] = b_nl
+    zero_b = b_nh <= ztol
+    inh, inl = _df_scalar_recip(jnp.where(zero_b, 1.0, b_nh), b_nl)
+    inh = jnp.where(zero_b, 0.0, inh)
+    inl = jnp.where(zero_b, 0.0, inl)
+    _df_scale_ref(vcuh, vcul, buh, bul, inh, inl, c_chunks)
+    _df_scale_ref(vcvh, vcvl, bvh, bvl, inh, inl, c_chunks)
+    h, l = _df_scale(bnh[:], bnl[:], inh, inl)
+    vcnh[:] = h
+    vcnl[:] = l
+    for ref in (vpuh, vpul, vpvh, vpvl, vpnh, vpnl):
+        ref[:] = jnp.zeros(ref.shape, jnp.float32)
+
+    orders = (
+        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0),
+        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+    )
+
+    def step(j, carry):
+        bph, bpl, done = carry
+        executed = jnp.logical_not(done)
+        _df_emit_matvec(orders, vcnh, vcnl, wnh, wnl,
+                        p_hi=p_hi, c_chunks=c_chunks)
+        # u block: fused (w -= β_prev·vp) + Σ vc·w' tile accumulation
+        s1h, s1l = _df_axpy_dot_ref(wuh, wul, bph, bpl, vpuh, vpul,
+                                    vcuh, vcul, c_chunks)
+        hh, ll = _df_axpy(wnh[:], wnl[:], bph, bpl, vpnh[:], vpnl[:])
+        wnh[:] = hh
+        wnl[:] = ll
+        s2h, s2l = _df_dot_block(vcnh[:], vcnl[:], wnh[:], wnl[:])
+        ah, al = _df_add2(s1h, s1l, s2h, s2l)
+        # u block: fused (w -= α·vc) + Σ w'·w'
+        q1h, q1l = _df_axpy_dot_ref(wuh, wul, ah, al, vcuh, vcul,
+                                    None, None, c_chunks)
+        # v block: both axpys deferred until α is known, one pass
+        _df_axpy2_ref(wvh, wvl, bph, bpl, vpvh, vpvl, ah, al, vcvh, vcvl,
+                      c_chunks)
+        hh, ll = _df_axpy(wnh[:], wnl[:], ah, al, vcnh[:], vcnl[:])
+        wnh[:] = hh
+        wnl[:] = ll
+        q2h, q2l = _df_dot_block(wnh[:], wnl[:], wnh[:], wnl[:])
+        b2h, b2l = _df_add2(q1h, q1l, q2h, q2l)
+        bh, bl = _df_scalar_sqrt(b2h, b2l)
+        breakdown = bh <= tol
+        advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
+        alphas_h[j] = jnp.where(executed, ah, 0.0)
+        alphas_l[j] = jnp.where(executed, al, 0.0)
+        betas_h[j] = jnp.where(advance, bh, 0.0)
+        betas_l[j] = jnp.where(advance, bl, 0.0)
+        ibh, ibl = _df_scalar_recip(jnp.where(advance, bh, 1.0), bl)
+        ibh = jnp.where(advance, ibh, 0.0)
+        ibl = jnp.where(advance, ibl, 0.0)
+
+        @pl.when(advance)
+        def _advance():
+            _df_copy_ref(vpuh, vpul, vcuh, vcul, c_chunks)
+            _df_copy_ref(vpvh, vpvl, vcvh, vcvl, c_chunks)
+            vpnh[:] = vcnh[:]
+            vpnl[:] = vcnl[:]
+            _df_scale_ref(vcuh, vcul, wuh, wul, ibh, ibl, c_chunks)
+            _df_scale_ref(vcvh, vcvl, wvh, wvl, ibh, ibl, c_chunks)
+            h2, l2 = _df_scale(wnh[:], wnl[:], ibh, ibl)
+            vcnh[:] = h2
+            vcnl[:] = l2
+
+        steps_out[0] = steps_out[0] + executed.astype(jnp.int32)
+        return (jnp.where(advance, bh, bph), jnp.where(advance, bl, bpl),
+                jnp.logical_or(done, breakdown))
+
+    steps_out[0] = 0
+    jax.lax.fori_loop(0, k, step,
+                      (jnp.float32(0.0), jnp.float32(0.0), zero_b))
+
+
+# ---------------------------------------------------------------------------
+# Pass two (stored-β replay, df)
+# ---------------------------------------------------------------------------
+
+def _df_pass_two_kernel(
+    duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
+    buh, bul, bvh, bvl, bnh, bnl, winu, winv,
+    alphas_h, alphas_l, betas_h, betas_l, yh, yl, bnorm2, steps_in,
+    xuh, xul, xnh, xnl,
+    su, sv, sn,
+    *, k, p_hi, c_chunks,
+):
+    vpuh, vcuh, wuh = su.at[0], su.at[1], su.at[2]
+    vpul, vcul, wul = su.at[3], su.at[4], su.at[5]
+    vpvh, vcvh, wvh = sv.at[0], sv.at[1], sv.at[2]
+    vpvl, vcvl, wvl = sv.at[3], sv.at[4], sv.at[5]
+    vpnh, vcnh, wnh = sn.at[0], sn.at[1], sn.at[2]
+    vpnl, vcnl, wnl = sn.at[3], sn.at[4], sn.at[5]
+
+    steps = steps_in[0]
+    inh, inl = _df_scalar_recip(
+        jnp.where(bnorm2[0] > 0, bnorm2[0], 1.0), bnorm2[1])
+    zero_b = bnorm2[0] <= 0
+    inh = jnp.where(zero_b, 0.0, inh)
+    inl = jnp.where(zero_b, 0.0, inl)
+    _df_scale_ref(vcuh, vcul, buh, bul, inh, inl, c_chunks)
+    _df_scale_ref(vcvh, vcvl, bvh, bvl, inh, inl, c_chunks)
+    h, l = _df_scale(bnh[:], bnl[:], inh, inl)
+    vcnh[:] = h
+    vcnl[:] = l
+    for ref in (vpuh, vpul, vpvh, vpvl, vpnh, vpnl):
+        ref[:] = jnp.zeros(ref.shape, jnp.float32)
+
+    # x = y[0]·v1
+    y0h, y0l = yh[0], yl[0]
+    _df_scale_ref(xuh, xul, vcuh, vcul, y0h, y0l, c_chunks)
+    h, l = _df_scale(vcnh[:], vcnl[:], y0h, y0l)
+    xnh[:] = h
+    xnl[:] = l
+
+    orders = (
+        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0),
+        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+    )
+
+    def step(j, _):
+        active = j < steps - 1
+        jm1 = jnp.maximum(j - 1, 0)
+        a_h, a_l = alphas_h[j], alphas_l[j]
+        bp_h = jnp.where(j > 0, betas_h[jm1], 0.0)
+        bp_l = jnp.where(j > 0, betas_l[jm1], 0.0)
+        bj_h, bj_l = betas_h[j], betas_l[j]
+        yn_h, yn_l = yh[j + 1], yl[j + 1]
+
+        _df_emit_matvec(orders, vcnh, vcnl, wnh, wnl,
+                        p_hi=p_hi, c_chunks=c_chunks)
+        # identical df FP sequence to pass one: axpy(β_prev), axpy(α),
+        # reciprocal-multiply by the STORED df β — bit-faithful replay.
+        _df_axpy2_ref(wuh, wul, bp_h, bp_l, vpuh, vpul, a_h, a_l,
+                      vcuh, vcul, c_chunks)
+        _df_axpy2_ref(wvh, wvl, bp_h, bp_l, vpvh, vpvl, a_h, a_l,
+                      vcvh, vcvl, c_chunks)
+        h1, l1 = _df_axpy(wnh[:], wnl[:], bp_h, bp_l, vpnh[:], vpnl[:])
+        h1, l1 = _df_axpy(h1, l1, a_h, a_l, vcnh[:], vcnl[:])
+        wnh[:] = h1
+        wnl[:] = l1
+        ib_h, ib_l = _df_scalar_recip(jnp.where(bj_h > 0, bj_h, 1.0), bj_l)
+        ib_h = jnp.where(active, ib_h, 0.0)
+        ib_l = jnp.where(active, ib_l, 0.0)
+
+        @pl.when(active)
+        def _do():
+            # u copy: rotate + accumulate x += y_{j+1}·v_next, chunk-wise
+            def fn_u(sl):
+                vh, vl = _df_scale(wuh[sl, :], wul[sl, :], ib_h, ib_l)
+                vpuh[sl, :] = vcuh[sl, :]
+                vpul[sl, :] = vcul[sl, :]
+                vcuh[sl, :] = vh
+                vcul[sl, :] = vl
+                ph, pe = _two_prod(vh, yn_h)
+                pe = pe + (vh * yn_l + vl * yn_h)
+                h2, l2 = _df_add2(xuh[sl, :], xul[sl, :], ph, pe)
+                xuh[sl, :] = h2
+                xul[sl, :] = l2
+            _for_chunks(c_chunks, fn_u)
+
+            def fn_v(sl):
+                vh, vl = _df_scale(wvh[sl, :], wvl[sl, :], ib_h, ib_l)
+                vpvh[sl, :] = vcvh[sl, :]
+                vpvl[sl, :] = vcvl[sl, :]
+                vcvh[sl, :] = vh
+                vcvl[sl, :] = vl
+            _for_chunks(c_chunks, fn_v)
+
+            vh, vl = _df_scale(wnh[:], wnl[:], ib_h, ib_l)
+            vpnh[:] = vcnh[:]
+            vpnl[:] = vcnl[:]
+            vcnh[:] = vh
+            vcnl[:] = vl
+            ph, pe = _two_prod(vh, yn_h)
+            pe = pe + (vh * yn_l + vl * yn_h)
+            h2, l2 = _df_add2(xnh[:], xnl[:], ph, pe)
+            xnh[:] = h2
+            xnl[:] = l2
+
+        return 0
+
+    if k > 1:
+        jax.lax.fori_loop(0, k - 1, step, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+class DFFusedKKTSolver:
+    """Fused VMEM-resident two-pass f(A)·b in double-float.
+
+    Usage::
+
+        s = DFFusedKKTSolver(quad_costs_f64, arc_u, arc_v, num_nodes)
+        x, (alphas64, betas64, steps) = s.solve(b_f64, k=200, f="inv")
+
+    ``x`` and the coefficients come back as f64 (hi+lo recombined). The
+    projected k×k solve runs on the host in f64 (tiny), like
+    ``algorithms/df.solve_fAb_df``.
+    """
+
+    #: ~120 B per padded slot (d pair + 2 index planes per ordering + 6
+    #: df vector planes per copy); v5e usable VMEM ≈ 110 MB.
+    MAX_ARCS = 800_000
+
+    def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
+                 interpret: bool = False):
+        d64 = np.asarray(quad_costs, np.float64)
+        m = len(d64)
+        if m > self.MAX_ARCS and not interpret:
+            raise ValueError(
+                f"instance has {m} arcs; the df fused solver fits "
+                f"~{self.MAX_ARCS} arcs per chip (state is 2x the f32 "
+                "kernel's). Use algorithms.df.DFKKTOperator + solve_fAb_df "
+                "for larger instances.")
+        d_hi = d64.astype(np.float32)
+        d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
+        self.layout = SortedKKTLayout.build(
+            d_hi, arc_u, arc_v, num_nodes, dtype=np.float32)
+        lay = self.layout
+        self.interpret = interpret
+        self.n = lay.m + lay.p
+
+        def lo_plane(o):
+            flat = np.zeros(o.R * LANE, np.float32)
+            flat[o.pos] = d_lo
+            return flat.reshape(o.R, LANE)
+
+        as_dev = jnp.asarray
+        self._arrs = tuple(as_dev(a) for a in (
+            lay.u.d2, lo_plane(lay.u), lay.u.es2, lay.u.eo2, lay.u.gn3,
+            lay.v.d2, lo_plane(lay.v), lay.v.es2, lay.v.eo2, lay.v.gn3,
+        ))
+        self._wins = (as_dev(lay.u.win), as_dev(lay.v.win))
+        # jit cache: building a pallas_call re-traces the whole Mosaic
+        # kernel (~1-2 s host-side at 500k arcs) — cache per k
+        self._jits = {}
+
+    # -- packing ----------------------------------------------------------
+    def pack(self, b):
+        """(n,) f64 -> six df rep planes (buh, bul, bvh, bvl, bnh, bnl)."""
+        b64 = np.asarray(b, np.float64)
+        hi = b64.astype(np.float32)
+        lo = (b64 - hi.astype(np.float64)).astype(np.float32)
+        lay = self.layout
+        uh, uv, un = lay.pack(hi)
+        lh, lv, ln = lay.pack(lo)
+        return tuple(jnp.asarray(a) for a in (uh, lh, uv, lv, un, ln))
+
+    def unpack64(self, xuh, xul, xnh, xnl) -> np.ndarray:
+        lay = self.layout
+        xu = (np.asarray(xuh, np.float64).reshape(-1)
+              + np.asarray(xul, np.float64).reshape(-1))
+        xn = (np.asarray(xnh, np.float64).reshape(-1)
+              + np.asarray(xnl, np.float64).reshape(-1))
+        return np.concatenate([xu[lay.u.pos], xn[: lay.p]])
+
+    # -- kernels ----------------------------------------------------------
+    def _scratch(self):
+        lay = self.layout
+        return [
+            pltpu.VMEM((6, lay.u.R, LANE), jnp.float32),
+            pltpu.VMEM((6, lay.v.R, LANE), jnp.float32),
+            pltpu.VMEM((6, lay.P2, LANE), jnp.float32),
+        ]
+
+    def pass_one(self, b_rep, k: int):
+        key = ("p1", k)
+        if key not in self._jits:
+            lay = self.layout
+            vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+            kern = functools.partial(
+                _df_pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
+                tol=np.float32(DF_BREAKDOWN_TOL),
+                ztol=np.float32(1000.0 * np.finfo(np.float32).tiny))
+            self._jits[key] = jax.jit(pl.pallas_call(
+                kern,
+                in_specs=[vm] * 16 + [sm, sm],
+                out_specs=[sm] * 6,
+                out_shape=[
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((2,), jnp.float32),
+                    jax.ShapeDtypeStruct((1,), jnp.int32),
+                ],
+                scratch_shapes=self._scratch(),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
+                interpret=self.interpret,
+            ))
+        ah, al, bh, bl, bnorm2, steps = self._jits[key](
+            *self._arrs, *b_rep, *self._wins)
+        return ah, al, bh, bl, bnorm2, steps
+
+    def pass_two(self, b_rep, coeffs, y_h, y_l):
+        ah, al, bh, bl, bnorm2, steps = coeffs
+        k = int(ah.shape[0])
+        key = ("p2", k)
+        if key not in self._jits:
+            lay = self.layout
+            vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+            kern = functools.partial(
+                _df_pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C)
+            self._jits[key] = jax.jit(pl.pallas_call(
+                kern,
+                in_specs=[vm] * 16 + [sm] * 10,
+                out_specs=[vm] * 4,
+                out_shape=[
+                    jax.ShapeDtypeStruct((lay.u.R, LANE), jnp.float32),
+                    jax.ShapeDtypeStruct((lay.u.R, LANE), jnp.float32),
+                    jax.ShapeDtypeStruct((lay.P2, LANE), jnp.float32),
+                    jax.ShapeDtypeStruct((lay.P2, LANE), jnp.float32),
+                ],
+                scratch_shapes=self._scratch(),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
+                interpret=self.interpret,
+            ))
+        return self._jits[key](*self._arrs, *b_rep, *self._wins,
+                               ah, al, bh, bl, y_h, y_l, bnorm2, steps)
+
+    # -- end-to-end -------------------------------------------------------
+    def solve(self, b, *, k: int, f="inv"):
+        """Two-pass f(A)·b in double-float; x returned as f64.
+
+        Returns ``(x, (alphas_f64, betas_f64, steps))``.
+        """
+        b_rep = self.pack(b)
+        coeffs = self.pass_one(b_rep, k)
+        ah, al, bh, bl, bnorm2, steps_arr = coeffs
+        steps = int(steps_arr[0])
+        a64 = (np.asarray(ah, np.float64) + np.asarray(al, np.float64))
+        b64 = (np.asarray(bh, np.float64) + np.asarray(bl, np.float64))
+        if steps == 0:
+            return np.zeros(self.n), (a64[:0], b64[:0], 0)
+        alphas = a64[:steps]
+        betas = b64[: steps - 1]
+        t = np.diag(alphas)
+        if steps > 1:
+            t += np.diag(betas, 1) + np.diag(betas, -1)
+        e1 = np.zeros(steps)
+        e1[0] = 1.0
+        if f == "inv":
+            y = np.linalg.solve(t, e1)
+        else:
+            fn = np.exp if f == "exp" else f
+            lam, q = np.linalg.eigh(t)
+            y = q @ (fn(lam) * q[0, :])
+        b_norm64 = (float(np.asarray(bnorm2)[0])
+                    + float(np.float64(np.asarray(bnorm2)[1])))
+        y_full = np.zeros(k)
+        y_full[:steps] = y * b_norm64
+        y_h = y_full.astype(np.float32)
+        y_l = (y_full - y_h.astype(np.float64)).astype(np.float32)
+        xuh, xul, xnh, xnl = self.pass_two(
+            b_rep, coeffs, jnp.asarray(y_h), jnp.asarray(y_l))
+        x = self.unpack64(xuh, xul, xnh, xnl)
+        return x, (alphas, betas, steps)
