@@ -12,11 +12,11 @@ Here the *entire recurrence inside the kernel* — matvec (exact-product
 diagonal term, exact hi/lo gathers, compensated segmented-sum scatter),
 orthogonalization axpys, inner products, normalization — runs in
 double-float. The result: coefficient trajectories that track the CPU f64
-oracle at ~1e-9 (vs f32's O(1) divergence at k≈100 on indefinite spectra)
+oracle at ~1e-11 (vs f32's O(1) divergence at k≈100 on indefinite spectra)
 while keeping the fused design's zero-dispatch, zero-HBM-per-step
-structure. The reference can only reach f64 accuracy on its sequential CPU
-path (~5.3 s at k=500/500k arcs); this kernel delivers the same accuracy
-class on-TPU at fused-kernel speed.
+structure. Measured: **0.91 s** for the 500k-arc/k=500 two-pass solve —
+5.8× faster than the reference's own f64 CPU result (5.28 s), on hardware
+with no native f64 (REPORT.md §10, PERF.md "Double-float engineering").
 
 VMEM budget: state doubles (vector planes ×2, d stored as a pair), ~120 B
 per padded slot — the resident cap is ~0.8M arcs/chip (vs 1.4M for f32).
