@@ -103,6 +103,27 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — SoL stats must not kill bench
             record["spmv_sol_error"] = str(e)[:200]
 
+        # f64-class double-float fused solve: same instance/k, the accuracy
+        # the reference only reaches on its CPU f64 path (REPORT.md §10)
+        try:
+            from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
+
+            dfs = DFFusedKKTSolver(inst.quad_costs, inst.arc_u, inst.arc_v, p)
+            b64 = rng.standard_normal(n)
+            dfs.solve(b64, k=k, f="inv")  # compile
+            df_samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dfs.solve(b64, k=k, f="inv")
+                df_samples.append(time.perf_counter() - t0)
+            t_df = min(df_samples)
+            record.update(
+                df_fused_wallclock_s=round(t_df, 4),
+                df_fused_vs_reference_f64=round(ref_time_s / t_df, 2),
+            )
+        except Exception as e:  # noqa: BLE001
+            record["df_fused_error"] = str(e)[:200]
+
     print(json.dumps(record))
     return 0
 

@@ -77,28 +77,33 @@ def _chunked_pass_one(
     b_norm = l2_norm(b)
     carry = init_carry(b, b_norm, zero_tolerance(b.dtype))
 
-    alpha_parts, beta_parts, basis_parts = [], [], []
+    rdt_np = np.dtype(rdt)
+    a_all = np.zeros(k, dtype=rdt_np)  # filled incrementally per chunk
+    b_all = np.zeros(k, dtype=rdt_np)
+    # host basis buffer filled incrementally: each chunk's rows transfer
+    # device->host exactly ONCE (a naive re-concatenate per boundary costs
+    # O(k^2/chunk) transfer bytes on a ~30 ms/transfer tunneled device)
+    v_all = np.zeros((k, b.shape[0]), dtype=b.dtype) if (
+        emit_basis and callback is not None) else None
+    basis_parts = []
+    filled = 0
     steps_prev = 0
     stop_at = None  # callback-requested stop (iteration index, 1-based)
     remaining = k
     while remaining > 0:
         c = min(chunk, remaining)
         carry, outs = _run_chunk(operator, carry, c, emit_basis)
-        alpha_parts.append(np.asarray(outs[0]))
-        beta_parts.append(np.asarray(outs[1]))
+        a_all[filled:filled + c] = np.asarray(outs[0])
+        b_all[filled:filled + c] = np.asarray(outs[1])
         if emit_basis:
-            basis_parts.append(outs[2])  # stays on device until needed
+            basis_parts.append(outs[2])  # stays on device for the output
+            if v_all is not None:
+                v_all[filled:filled + c] = np.asarray(outs[2])
+        filled += c
         remaining -= c
         steps_now = int(carry.steps)
 
         if callback is not None and steps_now > steps_prev:
-            a_all = np.concatenate(alpha_parts)
-            b_all = np.concatenate(beta_parts)
-            v_all = (
-                np.concatenate([np.asarray(p) for p in basis_parts])
-                if emit_basis
-                else None
-            )
             for s in range(steps_prev + 1, steps_now + 1):
                 v_view = v_all[:s] if v_all is not None else None
                 if not callback(s, v_view, (a_all[:s], b_all[: s - 1])):
@@ -112,9 +117,6 @@ def _chunked_pass_one(
 
     executed = int(carry.steps)
     steps_final = stop_at if stop_at is not None else executed
-
-    a_all = np.concatenate(alpha_parts)
-    b_all = np.concatenate(beta_parts)
     alphas = np.zeros(k, dtype=rdt)
     betas = np.zeros(k, dtype=rdt)
     alphas[:steps_final] = a_all[:steps_final]

@@ -23,6 +23,7 @@ the end-to-end slowdown is far below the flop ratio (measured in REPORT.md).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -246,61 +247,63 @@ def lanczos_pass_one_df(operator, b, k: int) -> DFDecomposition:
     if k < 1:
         raise ValueError("k must be >= 1")
     b = _as_df(b)
-    tol = jnp.float32(df_breakdown_tolerance())
-
-    @jax.jit
-    def run(op, b):
-        b_norm = df_norm(b)
-        # zero-b gate at the underflow boundary (matches core.zero_tolerance
-        # for f32: 1000 x smallest normal)
-        zero_b = b_norm.hi <= jnp.float32(1000.0 * np.finfo(np.float32).tiny)
-        inv_n = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), b_norm)
-        inv_n = DF(jnp.where(zero_b, 0.0, inv_n.hi),
-                   jnp.where(zero_b, 0.0, inv_n.lo))
-        v1 = df_mul(b, DF(jnp.broadcast_to(inv_n.hi, b.hi.shape),
-                          jnp.broadcast_to(inv_n.lo, b.lo.shape)))
-
-        def bscal(s: DF, shape):
-            return DF(jnp.broadcast_to(s.hi, shape), jnp.broadcast_to(s.lo, shape))
-
-        def step(carry, _):
-            vp, vc, beta_prev, done, steps = carry
-            executed = jnp.logical_not(done)
-            w = op.matvec_df(vc)
-            w = df_sub(w, df_mul(bscal(beta_prev, vp.hi.shape), vp))
-            alpha = df_dot(vc, w)
-            w = df_sub(w, df_mul(bscal(alpha, vc.hi.shape), vc))
-            beta = df_norm(w)
-            breakdown = beta.hi <= tol
-            advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
-
-            def msk(s: DF, cond):
-                return DF(jnp.where(cond, s.hi, 0.0), jnp.where(cond, s.lo, 0.0))
-
-            alpha_out = msk(alpha, executed)
-            beta_out = msk(beta, advance)
-            inv_b = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), beta)
-            inv_b = msk(inv_b, advance)
-            v_next = df_mul(w, bscal(inv_b, w.hi.shape))
-
-            def sel(a, b_, cond=advance):
-                return DF(jnp.where(cond, a.hi, b_.hi), jnp.where(cond, a.lo, b_.lo))
-
-            new = (sel(vc, vp), sel(v_next, vc),
-                   sel(beta, beta_prev),
-                   jnp.logical_or(done, breakdown),
-                   steps + executed.astype(jnp.int32))
-            return new, (alpha_out, beta_out)
-
-        carry0 = (df_zeros_like(b), v1,
-                  DF(jnp.float32(0.0), jnp.float32(0.0)), zero_b,
-                  jnp.zeros((), jnp.int32))
-        carry, (alphas, betas) = jax.lax.scan(step, carry0, None, length=k)
-        return alphas, betas, carry[4], b_norm
-
-    alphas, betas, steps, b_norm = run(operator, b)
+    alphas, betas, steps, b_norm = _pass_one_df_jit(operator, b, k)
     return DFDecomposition(alphas=alphas, betas=betas, steps_taken=steps,
                            b_norm=b_norm)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pass_one_df_jit(op, b, k):
+    # module-level jit: a closure-local @jax.jit would retrace+recompile the
+    # whole df scan on every call (measured ~3.5 s/call at n=256)
+    tol = jnp.float32(df_breakdown_tolerance())
+    b_norm = df_norm(b)
+    # zero-b gate at the underflow boundary (matches core.zero_tolerance
+    # for f32: 1000 x smallest normal)
+    zero_b = b_norm.hi <= jnp.float32(1000.0 * np.finfo(np.float32).tiny)
+    inv_n = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), b_norm)
+    inv_n = DF(jnp.where(zero_b, 0.0, inv_n.hi),
+               jnp.where(zero_b, 0.0, inv_n.lo))
+    v1 = df_mul(b, DF(jnp.broadcast_to(inv_n.hi, b.hi.shape),
+                      jnp.broadcast_to(inv_n.lo, b.lo.shape)))
+
+    def bscal(s: DF, shape):
+        return DF(jnp.broadcast_to(s.hi, shape), jnp.broadcast_to(s.lo, shape))
+
+    def step(carry, _):
+        vp, vc, beta_prev, done, steps = carry
+        executed = jnp.logical_not(done)
+        w = op.matvec_df(vc)
+        w = df_sub(w, df_mul(bscal(beta_prev, vp.hi.shape), vp))
+        alpha = df_dot(vc, w)
+        w = df_sub(w, df_mul(bscal(alpha, vc.hi.shape), vc))
+        beta = df_norm(w)
+        breakdown = beta.hi <= tol
+        advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
+
+        def msk(s: DF, cond):
+            return DF(jnp.where(cond, s.hi, 0.0), jnp.where(cond, s.lo, 0.0))
+
+        alpha_out = msk(alpha, executed)
+        beta_out = msk(beta, advance)
+        inv_b = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), beta)
+        inv_b = msk(inv_b, advance)
+        v_next = df_mul(w, bscal(inv_b, w.hi.shape))
+
+        def sel(a, b_, cond=advance):
+            return DF(jnp.where(cond, a.hi, b_.hi), jnp.where(cond, a.lo, b_.lo))
+
+        new = (sel(vc, vp), sel(v_next, vc),
+               sel(beta, beta_prev),
+               jnp.logical_or(done, breakdown),
+               steps + executed.astype(jnp.int32))
+        return new, (alpha_out, beta_out)
+
+    carry0 = (df_zeros_like(b), v1,
+              DF(jnp.float32(0.0), jnp.float32(0.0)), zero_b,
+              jnp.zeros((), jnp.int32))
+    carry, (alphas, betas) = jax.lax.scan(step, carry0, None, length=k)
+    return alphas, betas, carry[4], b_norm
 
 
 def lanczos_pass_two_df(operator, b, decomp: DFDecomposition, y_f64) -> DF:
@@ -311,58 +314,59 @@ def lanczos_pass_two_df(operator, b, decomp: DFDecomposition, y_f64) -> DF:
     k = decomp.alphas.hi.shape[0]
     y = df_from_f64(np.pad(np.asarray(y_f64, np.float64),
                            (0, k - len(np.asarray(y_f64)))))
+    return _pass_two_df_jit(operator, b, decomp, y)
 
-    @jax.jit
-    def run(op, b, decomp, y):
-        steps = decomp.steps_taken
-        inv_n = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), decomp.b_norm)
-        shape = b.hi.shape
 
-        def bscal(s: DF):
-            return DF(jnp.broadcast_to(s.hi, shape), jnp.broadcast_to(s.lo, shape))
+@jax.jit
+def _pass_two_df_jit(op, b, decomp, y):
+    k = decomp.alphas.hi.shape[0]
+    steps = decomp.steps_taken
+    inv_n = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), decomp.b_norm)
+    shape = b.hi.shape
 
-        v1 = df_mul(b, bscal(inv_n))
-        idx = jnp.arange(k)
-        ym = DF(jnp.where(idx < steps, y.hi, 0.0),
-                jnp.where(idx < steps, y.lo, 0.0))
-        x0 = df_mul(bscal(DF(ym.hi[0], ym.lo[0])), v1)
-        if k == 1:
-            return x0
+    def bscal(s: DF):
+        return DF(jnp.broadcast_to(s.hi, shape), jnp.broadcast_to(s.lo, shape))
 
-        bp = DF(jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                 decomp.betas.hi[:-1]]),
-                jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                 decomp.betas.lo[:-1]]))
-        xs = (DF(decomp.alphas.hi[:k - 1], decomp.alphas.lo[:k - 1]),
-              DF(bp.hi[:k - 1], bp.lo[:k - 1]),
-              DF(decomp.betas.hi[:k - 1], decomp.betas.lo[:k - 1]),
-              DF(ym.hi[1:], ym.lo[1:]),
-              jnp.arange(k - 1))
+    v1 = df_mul(b, bscal(inv_n))
+    idx = jnp.arange(k)
+    ym = DF(jnp.where(idx < steps, y.hi, 0.0),
+            jnp.where(idx < steps, y.lo, 0.0))
+    x0 = df_mul(bscal(DF(ym.hi[0], ym.lo[0])), v1)
+    if k == 1:
+        return x0
 
-        def step(carry, xrow):
-            vp, vc, x_acc = carry
-            alpha_j, beta_p, beta_j, y_next, j = xrow
-            active = j < steps - 1
-            w = op.matvec_df(vc)
-            w = df_sub(w, df_mul(bscal(beta_p), vp))
-            w = df_sub(w, df_mul(bscal(alpha_j), vc))
-            safe = DF(jnp.where(beta_j.hi > 0, beta_j.hi, 1.0), beta_j.lo)
-            inv_b = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), safe)
-            inv_b = DF(jnp.where(active, inv_b.hi, 0.0),
-                       jnp.where(active, inv_b.lo, 0.0))
-            v_next = df_mul(w, bscal(inv_b))
-            x_acc = df_add(x_acc, df_mul(bscal(y_next), v_next))
+    bp = DF(jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                             decomp.betas.hi[:-1]]),
+            jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                             decomp.betas.lo[:-1]]))
+    xs = (DF(decomp.alphas.hi[:k - 1], decomp.alphas.lo[:k - 1]),
+          DF(bp.hi[:k - 1], bp.lo[:k - 1]),
+          DF(decomp.betas.hi[:k - 1], decomp.betas.lo[:k - 1]),
+          DF(ym.hi[1:], ym.lo[1:]),
+          jnp.arange(k - 1))
 
-            def sel(a, b_):
-                return DF(jnp.where(active, a.hi, b_.hi),
-                          jnp.where(active, a.lo, b_.lo))
+    def step(carry, xrow):
+        vp, vc, x_acc = carry
+        alpha_j, beta_p, beta_j, y_next, j = xrow
+        active = j < steps - 1
+        w = op.matvec_df(vc)
+        w = df_sub(w, df_mul(bscal(beta_p), vp))
+        w = df_sub(w, df_mul(bscal(alpha_j), vc))
+        safe = DF(jnp.where(beta_j.hi > 0, beta_j.hi, 1.0), beta_j.lo)
+        inv_b = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), safe)
+        inv_b = DF(jnp.where(active, inv_b.hi, 0.0),
+                   jnp.where(active, inv_b.lo, 0.0))
+        v_next = df_mul(w, bscal(inv_b))
+        x_acc = df_add(x_acc, df_mul(bscal(y_next), v_next))
 
-            return (sel(vc, vp), sel(v_next, vc), x_acc), None
+        def sel(a, b_):
+            return DF(jnp.where(active, a.hi, b_.hi),
+                      jnp.where(active, a.lo, b_.lo))
 
-        (_, _, x_k), _ = jax.lax.scan(step, (df_zeros_like(b), v1, x0), xs)
-        return x_k
+        return (sel(vc, vp), sel(v_next, vc), x_acc), None
 
-    return run(operator, b, decomp, y)
+    (_, _, x_k), _ = jax.lax.scan(step, (df_zeros_like(b), v1, x0), xs)
+    return x_k
 
 
 def solve_fAb_df(operator, b, *, k: int, f="inv") -> np.ndarray:
@@ -376,19 +380,9 @@ def solve_fAb_df(operator, b, *, k: int, f="inv") -> np.ndarray:
     if steps == 0:
         n = operator.shape[0]
         return np.zeros(n)
-    alphas = decomp.alphas_f64()
-    betas = decomp.betas_f64()
-    t = np.diag(alphas)
-    if steps > 1:
-        t += np.diag(betas, 1) + np.diag(betas, -1)
-    e1 = np.zeros(steps)
-    e1[0] = 1.0
-    if f == "inv":
-        y = np.linalg.solve(t, e1)
-    else:
-        fn = np.exp if f == "exp" else f
-        lam, q = np.linalg.eigh(t)
-        y = q @ (fn(lam) * q[0, :])
+    from two_pass_lanczos_tpu.functions import host_f_tk_solve
+
+    y = host_f_tk_solve(decomp.alphas_f64(), decomp.betas_f64(), f)
     b_norm = float(df_to_f64(DF(decomp.b_norm.hi, decomp.b_norm.lo)))
     x = lanczos_pass_two_df(operator, b, decomp, y * b_norm)
     return df_to_f64(x)

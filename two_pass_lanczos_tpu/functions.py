@@ -22,11 +22,13 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition
 from two_pass_lanczos_tpu.ops.tridiag import assemble_tridiagonal
 
 __all__ = [
+    "host_f_tk_solve",
     "make_inv_solver",
     "make_exp_solver",
     "make_function_solver",
@@ -40,6 +42,31 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # Host-closure flavor (exact reference-shaped API)
 # ---------------------------------------------------------------------------
+
+def host_f_tk_solve(alphas, betas, f) -> np.ndarray:
+    """NumPy f64 ``y' = f(T_k)·e1`` on the host (the tiny projected solve
+    shared by the double-float paths): ``f`` is "inv" (LU solve), "exp",
+    or any callable applied to the spectrum."""
+    alphas = np.asarray(alphas, np.float64)
+    betas = np.asarray(betas, np.float64)
+    steps = len(alphas)
+    t = np.diag(alphas)
+    if steps > 1:
+        t += np.diag(betas, 1) + np.diag(betas, -1)
+    e1 = np.zeros(steps)
+    e1[0] = 1.0
+    if f == "inv":
+        return np.linalg.solve(t, e1)
+    if f == "exp":
+        fn = np.exp
+    elif callable(f):
+        fn = f
+    else:
+        raise ValueError(f"unknown matrix function {f!r}")
+    lam, q = np.linalg.eigh(t)
+    return q @ (fn(lam) * q[0, :])
+
+
 
 def make_inv_solver() -> Callable:
     """``f(z) = 1/z``: solve ``T_k y = e₁`` with a pivoted dense LU.

@@ -6,9 +6,10 @@ high-precision TPU path represents every value as an unevaluated sum
 f64's 53) and computes with error-free transformations:
 
 * ``two_sum``   — Knuth's branch-free exact addition (6 flops);
-* ``two_prod``  — Dekker's exact product via the f32 split constant
-  2¹² + 1 (no FMA primitive is exposed through XLA, so the 17-flop split
-  form is used; products are exact whenever no overflow occurs);
+* ``two_prod``  — compensated product via a 12-bit MANTISSA-MASK split
+  (integer ops; every partial product of the split pieces is exact in f32,
+  making the transform immune to the compiler's FMA contraction — see
+  :func:`_split` for why Dekker's multiplicative split cannot be used);
 * ``df_*``      — double-float add/mul/div/sqrt built on those (Dekker 1971,
   Bailey's ddfun conventions).
 
@@ -54,9 +55,6 @@ __all__ = [
     "df_dot",
     "df_norm",
 ]
-
-_SPLIT = np.float32(4097.0)  # 2**12 + 1 (f32 has a 24-bit significand)
-
 
 def _ob(x):
     """Optimization barrier guarding error-free transformations.

@@ -700,19 +700,11 @@ class DFFusedKKTSolver:
         b64 = (np.asarray(bh, np.float64) + np.asarray(bl, np.float64))
         if steps == 0:
             return np.zeros(self.n), (a64[:0], b64[:0], 0)
+        from two_pass_lanczos_tpu.functions import host_f_tk_solve
+
         alphas = a64[:steps]
         betas = b64[: steps - 1]
-        t = np.diag(alphas)
-        if steps > 1:
-            t += np.diag(betas, 1) + np.diag(betas, -1)
-        e1 = np.zeros(steps)
-        e1[0] = 1.0
-        if f == "inv":
-            y = np.linalg.solve(t, e1)
-        else:
-            fn = np.exp if f == "exp" else f
-            lam, q = np.linalg.eigh(t)
-            y = q @ (fn(lam) * q[0, :])
+        y = host_f_tk_solve(alphas, betas, f)
         b_norm64 = (float(np.asarray(bnorm2)[0])
                     + float(np.float64(np.asarray(bnorm2)[1])))
         y_full = np.zeros(k)

@@ -9,7 +9,7 @@ from functools import partial
 def measure_streaming_matvec(arcs: int, rho: int = 3, reps: int = 5,
                              lo: int = 64, hi: int = None,
                              windowed: bool = False, interpret: bool = False):
-    """Return (seconds_per_matvec, SoLReport_layout, SoLReport_ideal)."""
+    """Return (seconds_per_matvec, SoLReport_layout, SoLReport_ideal, meta)\n    where ``meta`` is a dict of timing details (lo/hi trip counts, raw\n    times, padded-row count, pad ratio)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
