@@ -14,8 +14,8 @@ orthogonalization axpys, inner products, normalization — runs in
 double-float. The result: coefficient trajectories that track the CPU f64
 oracle at ~1e-11 (vs f32's O(1) divergence at k≈100 on indefinite spectra)
 while keeping the fused design's zero-dispatch, zero-HBM-per-step
-structure. Measured: **0.91 s** for the 500k-arc/k=500 two-pass solve —
-5.8× faster than the reference's own f64 CPU result (5.28 s), on hardware
+structure. Measured: **0.70 s** for the 500k-arc/k=500 two-pass solve —
+7.5× faster than the reference's own f64 CPU result (5.28 s), on hardware
 with no native f64 (REPORT.md §10, PERF.md "Double-float engineering").
 
 VMEM budget: state doubles (vector planes ×2, d stored as a pair), ~120 B
@@ -240,11 +240,31 @@ def _df_dot_rep(auh, aul, anh, anl, buh, bul, bnh, bnl):
 # spills — at 500k arcs the first full-array version needed 136 MB of VMEM.
 # Processing CHUNK rows at a time bounds temporaries to (128, 128) tiles.
 
+#: rows per elementwise tile: big enough to amortize loop overhead, small
+#: enough that the ~10 EFT temporaries stay a few MB (spill-safe).
+_EW_BLOCK = 8  # chunks (1024 rows)
+
+
 def _for_chunks(c_chunks, fn):
-    def body(c, _):
-        fn(pl.ds(c * CHUNK, CHUNK))
-        return 0
-    jax.lax.fori_loop(0, c_chunks, body, 0)
+    """Run ``fn(row_slice)`` over the R rows in large blocks + a chunk tail
+    (c_chunks is often prime — e.g. 37 at 500k arcs — so a single static
+    block size cannot tile it)."""
+    big = c_chunks // _EW_BLOCK
+
+    if big:
+        def body_big(i, _):
+            fn(pl.ds(i * (_EW_BLOCK * CHUNK), _EW_BLOCK * CHUNK))
+            return 0
+        jax.lax.fori_loop(0, big, body_big, 0)
+
+    rem = c_chunks - big * _EW_BLOCK
+    if rem:
+        base = big * _EW_BLOCK
+
+        def body_rem(c, _):
+            fn(pl.ds((base + c) * CHUNK, CHUNK))
+            return 0
+        jax.lax.fori_loop(0, rem, body_rem, 0)
 
 
 def _df_axpy_ref(wh, wl, a_h, a_l, xh, xl, c_chunks):
@@ -297,27 +317,45 @@ def _df_dot_ref(ah, al, bh, bl, c_chunks):
 def _df_axpy_dot_ref(wh, wl, a_h, a_l, xh, xl, gh, gl, c_chunks):
     """Fused ``w -= a·x`` (in place) + tile-accumulated ``Σ g·w'``: one pass
     over the data instead of two, dot folded once at the end. ``gh=None``
-    accumulates ``Σ w'·w'`` (the β² reduction)."""
-    z = jnp.zeros((CHUNK, LANE), jnp.float32)
+    accumulates ``Σ w'·w'`` (the β² reduction). Processes ``_EW_BLOCK``
+    chunks per iteration (plus a chunk-sized tail — c_chunks is often
+    prime) with a matching pair of accumulator tiles."""
 
-    def body(c, carry):
-        th, tl = carry
-        sl = pl.ds(c * CHUNK, CHUNK)
-        h, l = _df_axpy(wh[sl, :], wl[sl, :], a_h, a_l, xh[sl, :], xl[sl, :])
-        wh[sl, :] = h
-        wl[sl, :] = l
-        if gh is None:
-            ph, pe = _two_prod(h, h)
-            pe = pe + 2.0 * (h * l)
-        else:
-            ph, pe = _two_prod(gh[sl, :], h)
-            pe = pe + (gh[sl, :] * l + gl[sl, :] * h)
-        return _df_add2(th, tl, ph, pe)
+    def make_body(rows, base_chunks):
+        def body(c, carry):
+            th, tl = carry
+            sl = pl.ds((base_chunks + c * (rows // CHUNK)) * CHUNK, rows)
+            h, l = _df_axpy(wh[sl, :], wl[sl, :], a_h, a_l,
+                            xh[sl, :], xl[sl, :])
+            wh[sl, :] = h
+            wl[sl, :] = l
+            if gh is None:
+                ph, pe = _two_prod(h, h)
+                pe = pe + 2.0 * (h * l)
+            else:
+                ph, pe = _two_prod(gh[sl, :], h)
+                pe = pe + (gh[sl, :] * l + gl[sl, :] * h)
+            return _df_add2(th, tl, ph, pe)
+        return body
 
-    th, tl = jax.lax.fori_loop(0, c_chunks, body, (z, z))
-    th, tl = _df_lane_fold(th, tl)
-    th, tl = _df_row_fold(th, tl)
-    return th[0, 0], tl[0, 0]
+    big = c_chunks // _EW_BLOCK
+    rem = c_chunks - big * _EW_BLOCK
+    acc = []
+    if big:
+        zb = jnp.zeros((_EW_BLOCK * CHUNK, LANE), jnp.float32)
+        th, tl = jax.lax.fori_loop(
+            0, big, make_body(_EW_BLOCK * CHUNK, 0), (zb, zb))
+        acc.append(_df_row_fold(*_df_lane_fold(th, tl)))
+    if rem:
+        zs = jnp.zeros((CHUNK, LANE), jnp.float32)
+        th, tl = jax.lax.fori_loop(
+            0, rem, make_body(CHUNK, big * _EW_BLOCK), (zs, zs))
+        acc.append(_df_row_fold(*_df_lane_fold(th, tl)))
+    (h0, l0) = acc[0]
+    sh, sl_ = h0[0, 0], l0[0, 0]
+    if len(acc) > 1:
+        sh, sl_ = _df_add2(sh, sl_, acc[1][0][0, 0], acc[1][1][0, 0])
+    return sh, sl_
 
 
 def _df_axpy2_ref(wh, wl, b_h, b_l, xh, xl, a_h, a_l, yh, yl, c_chunks):
@@ -415,12 +453,20 @@ def _df_pass_one_kernel(
 
         @pl.when(advance)
         def _advance():
-            _df_copy_ref(vpuh, vpul, vcuh, vcul, c_chunks)
-            _df_copy_ref(vpvh, vpvl, vcvh, vcvl, c_chunks)
+            # fused rotate+normalize per ordering: vp <- vc; vc <- w·(1/β)
+            def rot(vph, vpl, vch, vcl, wh, wl):
+                def fn(sl):
+                    vph[sl, :] = vch[sl, :]
+                    vpl[sl, :] = vcl[sl, :]
+                    h2, l2 = _df_scale(wh[sl, :], wl[sl, :], ibh, ibl)
+                    vch[sl, :] = h2
+                    vcl[sl, :] = l2
+                _for_chunks(c_chunks, fn)
+
+            rot(vpuh, vpul, vcuh, vcul, wuh, wul)
+            rot(vpvh, vpvl, vcvh, vcvl, wvh, wvl)
             vpnh[:] = vcnh[:]
             vpnl[:] = vcnl[:]
-            _df_scale_ref(vcuh, vcul, wuh, wul, ibh, ibl, c_chunks)
-            _df_scale_ref(vcvh, vcvl, wvh, wvl, ibh, ibl, c_chunks)
             h2, l2 = _df_scale(wnh[:], wnl[:], ibh, ibl)
             vcnh[:] = h2
             vcnl[:] = l2
@@ -627,8 +673,8 @@ class DFFusedKKTSolver:
             pltpu.VMEM((6, lay.P2, LANE), jnp.float32),
         ]
 
-    def pass_one(self, b_rep, k: int):
-        key = ("p1", k)
+    def _raw_p1(self, k: int):
+        key = ("p1raw", k)
         if key not in self._jits:
             lay = self.layout
             vm = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -637,7 +683,7 @@ class DFFusedKKTSolver:
                 _df_pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
                 tol=np.float32(DF_BREAKDOWN_TOL),
                 ztol=np.float32(1000.0 * np.finfo(np.float32).tiny))
-            self._jits[key] = jax.jit(pl.pallas_call(
+            self._jits[key] = pl.pallas_call(
                 kern,
                 in_specs=[vm] * 16 + [sm, sm],
                 out_specs=[sm] * 6,
@@ -653,22 +699,18 @@ class DFFusedKKTSolver:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
-            ))
-        ah, al, bh, bl, bnorm2, steps = self._jits[key](
-            *self._arrs, *b_rep, *self._wins)
-        return ah, al, bh, bl, bnorm2, steps
+            )
+        return self._jits[key]
 
-    def pass_two(self, b_rep, coeffs, y_h, y_l):
-        ah, al, bh, bl, bnorm2, steps = coeffs
-        k = int(ah.shape[0])
-        key = ("p2", k)
+    def _raw_p2(self, k: int):
+        key = ("p2raw", k)
         if key not in self._jits:
             lay = self.layout
             vm = pl.BlockSpec(memory_space=pltpu.VMEM)
             sm = pl.BlockSpec(memory_space=pltpu.SMEM)
             kern = functools.partial(
                 _df_pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C)
-            self._jits[key] = jax.jit(pl.pallas_call(
+            self._jits[key] = pl.pallas_call(
                 kern,
                 in_specs=[vm] * 16 + [sm] * 10,
                 out_specs=[vm] * 4,
@@ -682,22 +724,91 @@ class DFFusedKKTSolver:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
-            ))
+            )
+        return self._jits[key]
+
+    def pass_one(self, b_rep, k: int):
+        key = ("p1", k)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._raw_p1(k))
+        ah, al, bh, bl, bnorm2, steps = self._jits[key](
+            *self._arrs, *b_rep, *self._wins)
+        return ah, al, bh, bl, bnorm2, steps
+
+    def pass_two(self, b_rep, coeffs, y_h, y_l):
+        ah, al, bh, bl, bnorm2, steps = coeffs
+        k = int(ah.shape[0])
+        key = ("p2", k)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._raw_p2(k))
         return self._jits[key](*self._arrs, *b_rep, *self._wins,
                                ah, al, bh, bl, y_h, y_l, bnorm2, steps)
 
-    # -- end-to-end -------------------------------------------------------
+    # -- transfer-batched end-to-end --------------------------------------
+    #
+    # Every host<->device transfer on the tunneled runtime costs a full
+    # ~30 ms round trip, so the solve ships exactly FOUR: b (one stacked
+    # array), the packed pass-one coefficients (one readback for the host
+    # f(T_k) solve), y (one stacked upload), and x (one stacked readback).
+    # The unbatched version paid ~15 round trips = ~0.45 s of fixed cost.
+
+    def pack_flat(self, b) -> jax.Array:
+        """(n,) f64 -> ONE stacked (4R + 2·P2, 128) device array."""
+        b64 = np.asarray(b, np.float64)
+        hi = b64.astype(np.float32)
+        lo = (b64 - hi.astype(np.float64)).astype(np.float32)
+        lay = self.layout
+        uh, vh_, nh = lay.pack(hi)
+        ul, vl_, nl = lay.pack(lo)
+        return jnp.asarray(np.concatenate([uh, ul, vh_, vl_, nh, nl], axis=0))
+
+    def _split_flat(self, bf):
+        r = self.layout.u.R
+        p2 = self.layout.P2
+        return (bf[:r], bf[r:2 * r], bf[2 * r:3 * r], bf[3 * r:4 * r],
+                bf[4 * r:4 * r + p2], bf[4 * r + p2:])
+
+    def _p1_flat(self, k: int):
+        key = ("p1f", k)
+        if key not in self._jits:
+
+            def run(arrs, wins, bf):
+                b_rep = self._split_flat(bf)
+                ah, al, bh, bl, bn2, st = self._raw_p1(k)(*arrs, *b_rep, *wins)
+                packed = jnp.concatenate(
+                    [ah, al, bh, bl, bn2, st.astype(jnp.float32)])
+                return packed, ah, al, bh, bl, bn2, st
+
+            self._jits[key] = jax.jit(run)
+        return self._jits[key]
+
+    def _p2_flat(self, k: int):
+        key = ("p2f", k)
+        if key not in self._jits:
+
+            def run(arrs, wins, bf, ah, al, bh, bl, bn2, st, y2):
+                b_rep = self._split_flat(bf)
+                xuh, xul, xnh, xnl = self._raw_p2(k)(
+                    *arrs, *b_rep, *wins, ah, al, bh, bl,
+                    y2[0], y2[1], bn2, st)
+                return jnp.concatenate([xuh, xul, xnh, xnl], axis=0)
+
+            self._jits[key] = jax.jit(run)
+        return self._jits[key]
+
     def solve(self, b, *, k: int, f="inv"):
         """Two-pass f(A)·b in double-float; x returned as f64.
 
         Returns ``(x, (alphas_f64, betas_f64, steps))``.
         """
-        b_rep = self.pack(b)
-        coeffs = self.pass_one(b_rep, k)
-        ah, al, bh, bl, bnorm2, steps_arr = coeffs
-        steps = int(steps_arr[0])
-        a64 = (np.asarray(ah, np.float64) + np.asarray(al, np.float64))
-        b64 = (np.asarray(bh, np.float64) + np.asarray(bl, np.float64))
+        bf = self.pack_flat(b)  # transfer 1 (up)
+        packed, ah, al, bh, bl, bn2, st = self._p1_flat(k)(
+            self._arrs, self._wins, bf)
+        pk = np.asarray(packed, np.float64)  # transfer 2 (down)
+        a64 = pk[:k] + pk[k:2 * k]
+        b64 = pk[2 * k:3 * k] + pk[3 * k:4 * k]
+        b_norm64 = pk[4 * k] + pk[4 * k + 1]
+        steps = int(pk[4 * k + 2])
         if steps == 0:
             return np.zeros(self.n), (a64[:0], b64[:0], 0)
         from two_pass_lanczos_tpu.functions import host_f_tk_solve
@@ -705,13 +816,18 @@ class DFFusedKKTSolver:
         alphas = a64[:steps]
         betas = b64[: steps - 1]
         y = host_f_tk_solve(alphas, betas, f)
-        b_norm64 = (float(np.asarray(bnorm2)[0])
-                    + float(np.float64(np.asarray(bnorm2)[1])))
         y_full = np.zeros(k)
         y_full[:steps] = y * b_norm64
         y_h = y_full.astype(np.float32)
         y_l = (y_full - y_h.astype(np.float64)).astype(np.float32)
-        xuh, xul, xnh, xnl = self.pass_two(
-            b_rep, coeffs, jnp.asarray(y_h), jnp.asarray(y_l))
-        x = self.unpack64(xuh, xul, xnh, xnl)
+        y2 = jnp.asarray(np.stack([y_h, y_l]))  # transfer 3 (up)
+        xf = self._p2_flat(k)(self._arrs, self._wins, bf,
+                              ah, al, bh, bl, bn2, st, y2)
+        xf = np.asarray(xf, np.float64)  # transfer 4 (down)
+        r = self.layout.u.R
+        p2 = self.layout.P2
+        lay = self.layout
+        xu = (xf[:r] + xf[r:2 * r]).reshape(-1)
+        xn = (xf[2 * r:2 * r + p2] + xf[2 * r + p2:]).reshape(-1)
+        x = np.concatenate([xu[lay.u.pos], xn[: lay.p]])
         return x, (alphas, betas, steps)
