@@ -267,28 +267,12 @@ def _for_chunks(c_chunks, fn):
         jax.lax.fori_loop(0, rem, body_rem, 0)
 
 
-def _df_axpy_ref(wh, wl, a_h, a_l, xh, xl, c_chunks):
-    """(wh, wl) -= a·(xh, xl), chunk-wise in place."""
-    def fn(sl):
-        h, l = _df_axpy(wh[sl, :], wl[sl, :], a_h, a_l, xh[sl, :], xl[sl, :])
-        wh[sl, :] = h
-        wl[sl, :] = l
-    _for_chunks(c_chunks, fn)
-
-
 def _df_scale_ref(dsth, dstl, srch, srcl, a_h, a_l, c_chunks):
     """dst = a·src, chunk-wise."""
     def fn(sl):
         h, l = _df_scale(srch[sl, :], srcl[sl, :], a_h, a_l)
         dsth[sl, :] = h
         dstl[sl, :] = l
-    _for_chunks(c_chunks, fn)
-
-
-def _df_copy_ref(dsth, dstl, srch, srcl, c_chunks):
-    def fn(sl):
-        dsth[sl, :] = srch[sl, :]
-        dstl[sl, :] = srcl[sl, :]
     _for_chunks(c_chunks, fn)
 
 
@@ -536,54 +520,55 @@ def _df_pass_two_kernel(
 
         _df_emit_matvec(orders, vcnh, vcnl, wnh, wnl,
                         p_hi=p_hi, c_chunks=c_chunks)
-        # identical df FP sequence to pass one: axpy(β_prev), axpy(α),
-        # reciprocal-multiply by the STORED df β — bit-faithful replay.
-        _df_axpy2_ref(wuh, wul, bp_h, bp_l, vpuh, vpul, a_h, a_l,
-                      vcuh, vcul, c_chunks)
-        _df_axpy2_ref(wvh, wvl, bp_h, bp_l, vpvh, vpvl, a_h, a_l,
-                      vcvh, vcvl, c_chunks)
-        h1, l1 = _df_axpy(wnh[:], wnl[:], bp_h, bp_l, vpnh[:], vpnl[:])
-        h1, l1 = _df_axpy(h1, l1, a_h, a_l, vcnh[:], vcnl[:])
-        wnh[:] = h1
-        wnl[:] = l1
         ib_h, ib_l = _df_scalar_recip(jnp.where(bj_h > 0, bj_h, 1.0), bj_l)
         ib_h = jnp.where(active, ib_h, 0.0)
         ib_l = jnp.where(active, ib_l, 0.0)
 
-        @pl.when(active)
-        def _do():
-            # u copy: rotate + accumulate x += y_{j+1}·v_next, chunk-wise
-            def fn_u(sl):
-                vh, vl = _df_scale(wuh[sl, :], wul[sl, :], ib_h, ib_l)
-                vpuh[sl, :] = vcuh[sl, :]
-                vpul[sl, :] = vcul[sl, :]
-                vcuh[sl, :] = vh
-                vcul[sl, :] = vl
-                ph, pe = _two_prod(vh, yn_h)
-                pe = pe + (vh * yn_l + vl * yn_h)
-                h2, l2 = _df_add2(xuh[sl, :], xul[sl, :], ph, pe)
-                xuh[sl, :] = h2
-                xul[sl, :] = l2
-            _for_chunks(c_chunks, fn_u)
+        # ONE pass per ordering: the identical df FP sequence to pass one —
+        # axpy(β_prev), axpy(α), reciprocal-multiply by the STORED df β
+        # (bit-faithful replay) — fused with the rotate and, for the
+        # u/node blocks, the x += y_{j+1}·v_next accumulation. Inactive
+        # steps degrade to no-ops via ib = 0 (v_next = 0, y masked) and
+        # `active`-selected rotates; w need not be stored (the next step's
+        # matvec overwrites it).
+        def fused(wh, wl, vph, vpl, vch, vcl, xh_r, xl_r):
+            def fn(sl):
+                h, l = _df_axpy(wh[sl, :], wl[sl, :], bp_h, bp_l,
+                                vph[sl, :], vpl[sl, :])
+                h, l = _df_axpy(h, l, a_h, a_l, vch[sl, :], vcl[sl, :])
+                vh, vl = _df_scale(h, l, ib_h, ib_l)
+                vpuh_new = jnp.where(active, vch[sl, :], vph[sl, :])
+                vpul_new = jnp.where(active, vcl[sl, :], vpl[sl, :])
+                vph[sl, :] = vpuh_new
+                vpl[sl, :] = vpul_new
+                vch[sl, :] = jnp.where(active, vh, vch[sl, :])
+                vcl[sl, :] = jnp.where(active, vl, vcl[sl, :])
+                if xh_r is not None:
+                    ph, pe = _two_prod(vh, yn_h)
+                    pe = pe + (vh * yn_l + vl * yn_h)
+                    h2, l2 = _df_add2(xh_r[sl, :], xl_r[sl, :], ph, pe)
+                    xh_r[sl, :] = h2
+                    xl_r[sl, :] = l2
+            _for_chunks(c_chunks, fn)
 
-            def fn_v(sl):
-                vh, vl = _df_scale(wvh[sl, :], wvl[sl, :], ib_h, ib_l)
-                vpvh[sl, :] = vcvh[sl, :]
-                vpvl[sl, :] = vcvl[sl, :]
-                vcvh[sl, :] = vh
-                vcvl[sl, :] = vl
-            _for_chunks(c_chunks, fn_v)
+        fused(wuh, wul, vpuh, vpul, vcuh, vcul, xuh, xul)
+        fused(wvh, wvl, vpvh, vpvl, vcvh, vcvl, None, None)
 
-            vh, vl = _df_scale(wnh[:], wnl[:], ib_h, ib_l)
-            vpnh[:] = vcnh[:]
-            vpnl[:] = vcnl[:]
-            vcnh[:] = vh
-            vcnl[:] = vl
-            ph, pe = _two_prod(vh, yn_h)
-            pe = pe + (vh * yn_l + vl * yn_h)
-            h2, l2 = _df_add2(xnh[:], xnl[:], ph, pe)
-            xnh[:] = h2
-            xnl[:] = l2
+        # node block (tiny): same sequence, full-array
+        h1, l1 = _df_axpy(wnh[:], wnl[:], bp_h, bp_l, vpnh[:], vpnl[:])
+        h1, l1 = _df_axpy(h1, l1, a_h, a_l, vcnh[:], vcnl[:])
+        vh, vl = _df_scale(h1, l1, ib_h, ib_l)
+        vpn_new_h = jnp.where(active, vcnh[:], vpnh[:])
+        vpn_new_l = jnp.where(active, vcnl[:], vpnl[:])
+        vpnh[:] = vpn_new_h
+        vpnl[:] = vpn_new_l
+        vcnh[:] = jnp.where(active, vh, vcnh[:])
+        vcnl[:] = jnp.where(active, vl, vcnl[:])
+        ph, pe = _two_prod(vh, yn_h)
+        pe = pe + (vh * yn_l + vl * yn_h)
+        h2, l2 = _df_add2(xnh[:], xnl[:], ph, pe)
+        xnh[:] = h2
+        xnl[:] = l2
 
         return 0
 
