@@ -200,3 +200,36 @@ def test_eft_survives_jit_fusion():
 
     err = np.abs(df_to_f64(v1_jit(bdf)) - b / np.linalg.norm(b)).max()
     assert err < 1e-13, err
+
+
+def test_df_one_pass_matches_two_pass():
+    """df one-pass (basis + df GEMV) vs df two-pass: identical pass-one
+    arithmetic -> deviation at df-rounding level, like the f64 paths."""
+    from two_pass_lanczos_tpu.algorithms.df import lanczos_standard_df
+
+    n, k = 1500, 50
+    op64, eigs = create_diagonal_problem(n, "well-conditioned", "inv")
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(n)
+    opdf = DFDiagonalOperator.from_f64(eigs)
+    x1 = solve_fAb_df(opdf, b, k=k, f="inv", method="one_pass")
+    x2 = solve_fAb_df(opdf, b, k=k, f="inv", method="two_pass")
+    dev = np.linalg.norm(x1 - x2) / np.linalg.norm(x1)
+    assert dev < 1e-12, dev
+    # and both at the f64 error level vs analytic truth (Krylov-limited)
+    x_true = b / eigs
+    x_64 = np.asarray(tpl.solve_fAb(op64, jnp.asarray(b), k=k, f="inv",
+                                    method="one_pass"))
+    rel_64 = np.linalg.norm(x_64 - x_true) / np.linalg.norm(x_true)
+    for x in (x1, x2):
+        rel = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+        assert rel < max(2.0 * rel_64, 1e-12), (rel, rel_64)
+
+
+def test_df_one_pass_basis_breakdown_rows_zero():
+    from two_pass_lanczos_tpu.algorithms.df import lanczos_standard_df
+
+    op = DFDiagonalOperator.from_f64(np.array([2.0, 3.0]))
+    d, basis = lanczos_standard_df(op, np.array([1.0, 0.0]), 5)
+    assert d.steps() == 1
+    np.testing.assert_array_equal(np.asarray(basis.hi)[1:], 0.0)

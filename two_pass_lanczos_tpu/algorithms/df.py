@@ -33,6 +33,7 @@ import numpy as np
 from two_pass_lanczos_tpu.ops.df import (
     DF,
     df_add,
+    two_prod,
     df_div,
     df_dot,
     df_from_f64,
@@ -52,6 +53,7 @@ __all__ = [
     "DFKKTOperator",
     "DFDecomposition",
     "lanczos_pass_one_df",
+    "lanczos_standard_df",
     "lanczos_pass_two_df",
     "solve_fAb_df",
 ]
@@ -247,13 +249,28 @@ def lanczos_pass_one_df(operator, b, k: int) -> DFDecomposition:
     if k < 1:
         raise ValueError("k must be >= 1")
     b = _as_df(b)
-    alphas, betas, steps, b_norm = _pass_one_df_jit(operator, b, k)
+    alphas, betas, steps, b_norm, _ = _pass_one_df_jit(operator, b, k, False)
     return DFDecomposition(alphas=alphas, betas=betas, steps_taken=steps,
                            b_norm=b_norm)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _pass_one_df_jit(op, b, k):
+def lanczos_standard_df(operator, b, k: int):
+    """One-pass in double-float: returns ``(DFDecomposition, basis)`` with
+    ``basis`` a DF pair of shape (k, n), row i = v_{i+1} (the O(nk)
+    variant — reference ``src/algorithms/lanczos.rs:55-156`` — at df
+    precision)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b = _as_df(b)
+    alphas, betas, steps, b_norm, basis = _pass_one_df_jit(operator, b, k,
+                                                           True)
+    decomp = DFDecomposition(alphas=alphas, betas=betas, steps_taken=steps,
+                             b_norm=b_norm)
+    return decomp, basis
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _pass_one_df_jit(op, b, k, emit_basis):
     # module-level jit: a closure-local @jax.jit would retrace+recompile the
     # whole df scan on every call (measured ~3.5 s/call at n=256)
     tol = jnp.float32(df_breakdown_tolerance())
@@ -297,13 +314,19 @@ def _pass_one_df_jit(op, b, k):
                sel(beta, beta_prev),
                jnp.logical_or(done, breakdown),
                steps + executed.astype(jnp.int32))
+        if emit_basis:
+            # row = v_{j+1} (the vector entering this step), zeros once done
+            v_emit = msk(vc, executed)
+            return new, (alpha_out, beta_out, v_emit)
         return new, (alpha_out, beta_out)
 
     carry0 = (df_zeros_like(b), v1,
               DF(jnp.float32(0.0), jnp.float32(0.0)), zero_b,
               jnp.zeros((), jnp.int32))
-    carry, (alphas, betas) = jax.lax.scan(step, carry0, None, length=k)
-    return alphas, betas, carry[4], b_norm
+    carry, outs = jax.lax.scan(step, carry0, None, length=k)
+    alphas, betas = outs[0], outs[1]
+    basis = outs[2] if emit_basis else None
+    return alphas, betas, carry[4], b_norm, basis
 
 
 def lanczos_pass_two_df(operator, b, decomp: DFDecomposition, y_f64) -> DF:
@@ -369,13 +392,21 @@ def _pass_two_df_jit(op, b, decomp, y):
     return x_k
 
 
-def solve_fAb_df(operator, b, *, k: int, f="inv") -> np.ndarray:
-    """Two-pass f(A)·b in double-float; returns x as f64 (hi+lo recombined).
+def solve_fAb_df(operator, b, *, k: int, f="inv",
+                 method: str = "two_pass") -> np.ndarray:
+    """f(A)·b in double-float; returns x as f64 (hi+lo recombined).
 
-    The projected k×k solve runs on the host in f64 (tiny), exactly like the
-    reference hands f64 (α, β) to the user closure.
+    ``method`` ∈ {"one_pass", "two_pass"}. The projected k×k solve runs on
+    the host in f64 (tiny), exactly like the reference hands f64 (α, β) to
+    the user closure.
     """
-    decomp = lanczos_pass_one_df(operator, b, k)
+    if method == "one_pass":
+        decomp, basis = lanczos_standard_df(operator, b, k)
+    elif method == "two_pass":
+        decomp = lanczos_pass_one_df(operator, b, k)
+        basis = None
+    else:
+        raise ValueError(f"unknown method {method!r}")
     steps = decomp.steps()
     if steps == 0:
         n = operator.shape[0]
@@ -384,5 +415,38 @@ def solve_fAb_df(operator, b, *, k: int, f="inv") -> np.ndarray:
 
     y = host_f_tk_solve(decomp.alphas_f64(), decomp.betas_f64(), f)
     b_norm = float(df_to_f64(DF(decomp.b_norm.hi, decomp.b_norm.lo)))
+    if method == "one_pass":
+        k_full = decomp.alphas.hi.shape[0]
+        y_full = np.zeros(k_full)
+        y_full[:steps] = y * b_norm
+        x = _gemv_df_jit(basis, df_from_f64(y_full))
+        return df_to_f64(x)
     x = lanczos_pass_two_df(operator, b, decomp, y * b_norm)
     return df_to_f64(x)
+
+
+@jax.jit
+def _gemv_df_jit(basis: DF, y: DF) -> DF:
+    """x = Vᵀ·y in double-float: elementwise df products, pairwise df fold
+    over the k axis (basis stored (k, n))."""
+    ph, pe = two_prod(basis.hi, y.hi[:, None])
+    pe = pe + (basis.hi * y.lo[:, None] + basis.lo * y.hi[:, None])
+    h, l = ph, pe
+    r = h.shape[0]
+    xh = xl = None
+    while r > 1:
+        if r % 2:
+            if xh is None:
+                xh, xl = h[r - 1:r], l[r - 1:r]
+            else:
+                s2 = df_add(DF(xh, xl), DF(h[r - 1:r], l[r - 1:r]))
+                xh, xl = s2.hi, s2.lo
+            r -= 1
+        half = r // 2
+        s2 = df_add(DF(h[:half], l[:half]), DF(h[half:r], l[half:r]))
+        h, l = s2.hi, s2.lo
+        r = half
+    if xh is not None:
+        s2 = df_add(DF(h, l), DF(xh, xl))
+        h, l = s2.hi, s2.lo
+    return DF(h[0], l[0])

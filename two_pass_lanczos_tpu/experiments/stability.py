@@ -35,6 +35,10 @@ def build_parser():
                    help="run on CPU in f64 (reference precision; default)")
     p.add_argument("--device", dest="cpu_f64", action="store_false",
                    help="run on the default accelerator in its native dtype")
+    p.add_argument("--precision", choices=["native", "df"], default="native",
+                   help="'df' runs both variants through the double-float "
+                        "path (algorithms/df.py) — reference-class accuracy "
+                        "on f32 accelerators; implies --device")
     return p
 
 
@@ -43,6 +47,8 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
     setup_logging()
+    if args.precision == "df":
+        args.cpu_f64 = False  # the point: reference-class accuracy ON-chip
     if args.cpu_f64:
         force_cpu_f64()
 
@@ -57,13 +63,28 @@ def main(argv=None) -> int:
     f_scalar = np.exp if args.function == "exp" else (lambda lam: 1.0 / lam)
     x_true = f_scalar(eigs) * b
     x_true_norm = np.linalg.norm(x_true)
-    solver = tpl.make_exp_solver() if args.function == "exp" else tpl.make_inv_solver()
-    b_dev = jnp.asarray(b, dtype=op.dtype)
+
+    if args.precision == "df":
+        from two_pass_lanczos_tpu.algorithms.df import (
+            DFDiagonalOperator, solve_fAb_df)
+
+        op_df = DFDiagonalOperator.from_f64(eigs)
+
+        def run(k, method):
+            return solve_fAb_df(op_df, b, k=k, f=args.function, method=method)
+    else:
+        solver = (tpl.make_exp_solver() if args.function == "exp"
+                  else tpl.make_inv_solver())
+        b_dev = jnp.asarray(b, dtype=op.dtype)
+
+        def run(k, method):
+            fn = tpl.lanczos if method == "one_pass" else tpl.lanczos_two_pass
+            return np.asarray(fn(op, b_dev, k, solver))
 
     rows = []
     for k in range(args.k_min, args.k_max + 1, args.k_step):
-        x_std = np.asarray(tpl.lanczos(op, b_dev, k, solver))
-        x_2p = np.asarray(tpl.lanczos_two_pass(op, b_dev, k, solver))
+        x_std = run(k, "one_pass")
+        x_2p = run(k, "two_pass")
         err_std = np.linalg.norm(x_std - x_true) / x_true_norm
         err_2p = np.linalg.norm(x_2p - x_true) / x_true_norm
         dev = np.linalg.norm(x_std - x_2p) / max(np.linalg.norm(x_std), 1e-300)
