@@ -128,3 +128,68 @@ def test_df_fused_vmem_guard():
     with pytest.raises(ValueError, match="arcs"):
         DFFusedKKTSolver(np.ones(900_001), np.zeros(900_001, np.int32),
                          np.ones(900_001, np.int32), 2)
+
+
+class TestDFSharded:
+    """Arc-sharded double-float solver on the virtual CPU mesh."""
+
+    def _solver(self, rng, m, p, ndev):
+        import jax
+        from jax.sharding import Mesh
+        from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+            DFShardedFusedKKTSolver)
+
+        d, u, v = _kkt(rng, m, p)
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
+        s = DFShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
+        return s, (d, u, v)
+
+    def test_sharded_df_tracks_f64_oracle(self, rng):
+        m, p, k = 1500, 200, 12
+        s, (d, u, v) = self._solver(rng, m, p, 4)
+        b = rng.standard_normal(m + p)
+        x, (a64, b64, steps) = s.solve(b, k=k, f="inv")
+        assert steps == k
+        op64 = tpl.KKTOperator(d=jnp.asarray(d), arc_u=jnp.asarray(u),
+                               arc_v=jnp.asarray(v), num_nodes=p)
+        dref, _ = pass_one_scan(op64.matvec, jnp.asarray(b), k,
+                                emit_basis=False)
+        np.testing.assert_allclose(a64, np.asarray(dref.alphas)[:k],
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(b64, np.asarray(dref.betas)[: k - 1],
+                                   rtol=0, atol=1e-10)
+        x64 = np.asarray(tpl.solve_fAb(op64, jnp.asarray(b), k=k, f="inv",
+                                       method="two_pass"))
+        # same working-precision class -> tight agreement at small k
+        np.testing.assert_allclose(x, x64, rtol=0,
+                                   atol=1e-9 * np.abs(x64).max())
+
+    @pytest.mark.parametrize("ndev", [2, 5])
+    def test_ndev_agreement(self, rng, ndev):
+        """N-device df results agree with 1-device df to df-rounding levels
+        (summation orders differ across device counts)."""
+        m, p, k = 1200, 150, 8
+        rng2 = np.random.default_rng(21)
+        d, u, v = _kkt(rng2, m, p)
+        b = rng2.standard_normal(m + p)
+        import jax
+        from jax.sharding import Mesh
+        from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+            DFShardedFusedKKTSolver)
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]), ("rows",))
+        s1 = DFShardedFusedKKTSolver(d, u, v, p, mesh1, interpret=True)
+        x1, (a1, b1, st1) = s1.solve(b, k=k, f="inv")
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
+        sn = DFShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
+        xn, (an, bn, stn) = sn.solve(b, k=k, f="inv")
+        assert st1 == stn == k
+        np.testing.assert_allclose(an, a1, rtol=0, atol=1e-11)
+        np.testing.assert_allclose(xn, x1, rtol=0,
+                                   atol=1e-10 * np.abs(x1).max())
+
+    def test_sharded_df_zero_b(self, rng):
+        s, _ = self._solver(rng, 600, 100, 2)
+        x, (a, b_, steps) = s.solve(np.zeros(700), k=4, f="inv")
+        assert steps == 0
+        np.testing.assert_array_equal(x, 0.0)

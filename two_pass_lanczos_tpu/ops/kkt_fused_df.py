@@ -49,7 +49,7 @@ from two_pass_lanczos_tpu.ops.kkt_fused import (
     _window_gather,
 )
 
-__all__ = ["DFFusedKKTSolver", "DF_BREAKDOWN_TOL"]
+__all__ = ["DFFusedKKTSolver", "DF_BREAKDOWN_TOL", "df_kkt_matvec"]
 
 #: breakdown tolerance at double-float working precision (1000 · 2⁻⁴⁹).
 DF_BREAKDOWN_TOL = 1000.0 * 2.0 ** -49
@@ -574,6 +574,59 @@ def _df_pass_two_kernel(
 
     if k > 1:
         jax.lax.fori_loop(0, k - 1, step, 0)
+
+
+# ---------------------------------------------------------------------------
+# Standalone df matvec (per-step building block for the sharded df solver)
+# ---------------------------------------------------------------------------
+
+def _df_matvec_kernel(duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
+                      xuh, xul, xvh, xvl, xnh, xnl, winu, winv,
+                      yuh, yul, yvh, yvl, ynh, ynl, *, p_hi, c_chunks):
+    orders = (
+        (xuh, xul, yuh, yul, duh, dul, esu, eou, gnu, winu, 1.0),
+        (xvh, xvl, yvh, yvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+    )
+    _df_emit_matvec(orders, xnh, xnl, ynh, ynl, p_hi=p_hi, c_chunks=c_chunks)
+
+
+def df_kkt_matvec(arrs, wins, xu2, xv2, xn2, *, p_hi: int, c_chunks: int,
+                  p2: int, interpret: bool = False):
+    """One double-float A·x in the rep layout (standalone pallas_call).
+
+    ``arrs`` = the 10 per-ordering arc arrays (d hi/lo, es, eo, gn3 × u, v);
+    ``xu2``/``xv2`` are stacked (2, R, 128) df pairs (hi plane 0, lo plane
+    1), ``xn2`` is (2, P2, 128). Returns ``(yu2, yv2, yn2_partial)`` in the
+    same stacked form — ``yn2_partial`` is the LOCAL node scatter partial
+    (the sharded solver df-folds partials across devices).
+    """
+    r = xu2.shape[1]
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kern(*refs):
+        (duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
+         xu, xv, xn, winu, winv, yu, yv, yn) = refs
+        _df_matvec_kernel(
+            duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
+            xu.at[0], xu.at[1], xv.at[0], xv.at[1], xn.at[0], xn.at[1],
+            winu, winv,
+            yu.at[0], yu.at[1], yv.at[0], yv.at[1], yn.at[0], yn.at[1],
+            p_hi=p_hi, c_chunks=c_chunks)
+
+    yu2, yv2, yn2 = pl.pallas_call(
+        kern,
+        in_specs=[vm] * 13 + [sm, sm],
+        out_specs=[vm] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2, r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2, p2, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*arrs, xu2, xv2, xn2, *wins)
+    return yu2, yv2, yn2
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ by all-gather inside the jitted scan.
 """
 
 from two_pass_lanczos_tpu.parallel.fused_sharded import ShardedFusedKKTSolver
+from two_pass_lanczos_tpu.parallel.fused_sharded_df import DFShardedFusedKKTSolver
 from two_pass_lanczos_tpu.parallel.mesh import make_mesh, initialize_distributed
 from two_pass_lanczos_tpu.parallel.partition import snake_partition, RowPartition
 from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
@@ -20,4 +21,5 @@ __all__ = [
     "RowPartition",
     "ShardedSparseOperator",
     "ShardedFusedKKTSolver",
+    "DFShardedFusedKKTSolver",
 ]
