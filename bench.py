@@ -112,9 +112,10 @@ def main() -> int:
             b64 = rng.standard_normal(n)
             dfs.solve(b64, k=k, f="inv")  # compile
             df_samples = []
-            for _ in range(3):
+            for i in range(3):
+                bb64 = b64 * (1.0 + 1e-9 * (i + 1))  # defeat result caching
                 t0 = time.perf_counter()
-                dfs.solve(b64, k=k, f="inv")
+                dfs.solve(bb64, k=k, f="inv")
                 df_samples.append(time.perf_counter() - t0)
             t_df = min(df_samples)
             record.update(

@@ -39,6 +39,13 @@ for arcs in 5000 50000 500000; do
     --output "$OUT/tradeoff_arcs${name}_rho3.csv"
 done
 
+# reference-class accuracy ON the accelerator via the double-float path
+# (skipped gracefully on CPU-only hosts: df just runs slower there)
+$RUN two_pass_lanczos_tpu.experiments.stability \
+  --function inv --scenario well-conditioned --size 10000 \
+  --k-min 50 --k-max 200 --k-step 50 --precision df \
+  --output "$OUT/accuracy_inv_well-conditioned_tpu_df.csv"
+
 $RUN two_pass_lanczos_tpu.experiments.scalability \
   --arcs-start 50000 --arcs-end 500000 --arcs-step 50000 --rho 3 --k 500 \
   --output "$OUT/scalability_k500_rho3.csv"

@@ -82,6 +82,18 @@ class DFShardedFusedKKTSolver:
         d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
 
         self.arc_idx = np.array_split(np.arange(m, dtype=np.int64), ndev)
+        # the per-device df matvec kernel is fully VMEM-resident (no grid
+        # streaming, unlike the f32 sharded solver) — enforce the same
+        # per-chip capacity as DFFusedKKTSolver, per shard
+        from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
+
+        max_shard = max(len(ix) for ix in self.arc_idx)
+        if max_shard > DFFusedKKTSolver.MAX_ARCS and not interpret:
+            raise ValueError(
+                f"largest arc shard has {max_shard} arcs; the resident df "
+                f"kernel fits ~{DFFusedKKTSolver.MAX_ARCS} arcs per device "
+                f"— use >= {-(-m // DFFusedKKTSolver.MAX_ARCS)} devices for "
+                f"this {m}-arc instance.")
         layouts = [
             SortedKKTLayout.build(d_hi[ix], arc_u[ix], arc_v[ix], num_nodes)
             for ix in self.arc_idx
@@ -362,10 +374,6 @@ class DFShardedFusedKKTSolver:
 
 def _df2(a2):
     return DF(a2[0], a2[1])
-
-
-def _stack(d: DF):
-    return jnp.stack([d.hi, d.lo])
 
 
 def _df_dot2(a2, b2) -> DF:
