@@ -131,25 +131,35 @@ def test_df_fused_vmem_guard():
 
 
 class TestDFSharded:
-    """Arc-sharded double-float solver on the virtual CPU mesh."""
+    """Arc-sharded double-float solver on the virtual CPU mesh.
 
-    def _solver(self, rng, m, p, ndev):
+    Interpret-mode pallas inside shard_map costs ~1 min of compile per
+    solver build, so the class builds ONE 4-device solver and validates it
+    against the (cheap) XLA df path — which the single-device fused df
+    kernel is itself validated against — rather than building per-ndev
+    solver pairs."""
+
+    def test_sharded_df_4dev_tracks_df_and_oracle(self, rng):
         import jax
         from jax.sharding import Mesh
+        from two_pass_lanczos_tpu.algorithms.df import (
+            DFKKTOperator, lanczos_pass_one_df)
         from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
             DFShardedFusedKKTSolver)
 
-        d, u, v = _kkt(rng, m, p)
-        mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
-        s = DFShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
-        return s, (d, u, v)
-
-    def test_sharded_df_tracks_f64_oracle(self, rng):
         m, p, k = 1500, 200, 12
-        s, (d, u, v) = self._solver(rng, m, p, 4)
+        d, u, v = _kkt(rng, m, p)
         b = rng.standard_normal(m + p)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+        s = DFShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
         x, (a64, b64, steps) = s.solve(b, k=k, f="inv")
         assert steps == k
+
+        # vs the XLA df path (same working precision -> tight agreement)
+        ddf = lanczos_pass_one_df(DFKKTOperator.from_f64(d, u, v, p), b, k)
+        np.testing.assert_allclose(a64, ddf.alphas_f64(), rtol=0, atol=1e-11)
+
+        # vs the f64 oracle
         op64 = tpl.KKTOperator(d=jnp.asarray(d), arc_u=jnp.asarray(u),
                                arc_v=jnp.asarray(v), num_nodes=p)
         dref, _ = pass_one_scan(op64.matvec, jnp.asarray(b), k,
@@ -160,36 +170,31 @@ class TestDFSharded:
                                    rtol=0, atol=1e-10)
         x64 = np.asarray(tpl.solve_fAb(op64, jnp.asarray(b), k=k, f="inv",
                                        method="two_pass"))
-        # same working-precision class -> tight agreement at small k
         np.testing.assert_allclose(x, x64, rtol=0,
                                    atol=1e-9 * np.abs(x64).max())
 
-    @pytest.mark.parametrize("ndev", [2, 5])
-    def test_ndev_agreement(self, rng, ndev):
-        """N-device df results agree with 1-device df to df-rounding levels
-        (summation orders differ across device counts)."""
-        m, p, k = 1200, 150, 8
-        rng2 = np.random.default_rng(21)
-        d, u, v = _kkt(rng2, m, p)
-        b = rng2.standard_normal(m + p)
+    def test_sharded_df_zero_b(self, rng):
         import jax
         from jax.sharding import Mesh
         from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
             DFShardedFusedKKTSolver)
 
-        mesh1 = Mesh(np.array(jax.devices()[:1]), ("rows",))
-        s1 = DFShardedFusedKKTSolver(d, u, v, p, mesh1, interpret=True)
-        x1, (a1, b1, st1) = s1.solve(b, k=k, f="inv")
-        mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
-        sn = DFShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
-        xn, (an, bn, stn) = sn.solve(b, k=k, f="inv")
-        assert st1 == stn == k
-        np.testing.assert_allclose(an, a1, rtol=0, atol=1e-11)
-        np.testing.assert_allclose(xn, x1, rtol=0,
-                                   atol=1e-10 * np.abs(x1).max())
-
-    def test_sharded_df_zero_b(self, rng):
-        s, _ = self._solver(rng, 600, 100, 2)
+        d, u, v = _kkt(rng, 600, 100)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("rows",))
+        s = DFShardedFusedKKTSolver(d, u, v, 100, mesh, interpret=True)
         x, (a, b_, steps) = s.solve(np.zeros(700), k=4, f="inv")
         assert steps == 0
         np.testing.assert_array_equal(x, 0.0)
+
+    def test_sharded_df_capacity_guard(self, rng):
+        import jax
+        from jax.sharding import Mesh
+        from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+            DFShardedFusedKKTSolver)
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("rows",))
+        m = 1_700_000  # 850k per shard > the 800k resident cap
+        with pytest.raises(ValueError, match="devices"):
+            DFShardedFusedKKTSolver(
+                np.ones(m), np.zeros(m, np.int32), np.ones(m, np.int32),
+                2, mesh)
