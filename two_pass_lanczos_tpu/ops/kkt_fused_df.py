@@ -45,6 +45,7 @@ from two_pass_lanczos_tpu.ops.kkt_fused import (
     SortedKKTLayout,
     _df_add2,
     _ob,
+    _rowwise_window_gather,
     _two_prod,
     _window_gather,
 )
@@ -167,31 +168,38 @@ def _df_emit_matvec(orders, xnh_ref, xnl_ref, wnh_ref, wnl_ref, *, p_hi,
     """w = A·x in the rep layout, fully double-float.
 
     ``orders`` entries: (xh, xl, wh, wl, dh_ref, dl_ref, es_ref, eo_ref,
-    gn_ref, win_ref, sign). Gathers move hi and lo planes exactly; the
-    incidence scatter is a compensated two-level segmented sum.
+    gn_ref, win_ref, sign, wg). Gathers move hi and lo planes exactly (the
+    row-wise windowed gather when ``wg`` is set — two planes double the
+    full-loop cost, so the window pays off sooner than in the f32 kernel);
+    the incidence scatter is a compensated two-level segmented sum.
     """
     wnh_ref[:] = jnp.zeros(wnh_ref.shape, jnp.float32)
     wnl_ref[:] = jnp.zeros(wnl_ref.shape, jnp.float32)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
     for (xh_r, xl_r, wh_r, wl_r, dh_r, dl_r, es_r, eo_r, gn_r, win_r,
-         sign) in orders:
+         sign, wg) in orders:
 
         def body(c, _, xh_r=xh_r, xl_r=xl_r, wh_r=wh_r, wl_r=wl_r,
                  dh_r=dh_r, dl_r=dl_r, es_r=es_r, eo_r=eo_r, gn_r=gn_r,
-                 win_r=win_r, sign=sign):
+                 win_r=win_r, sign=sign, wg=wg):
             sl = pl.ds(c * CHUNK, CHUNK)
             xh = xh_r[sl, :]
             xl = xl_r[sl, :]
             es = es_r[sl, :]
             eo = eo_r[sl, :]
             r0 = win_r[c]
-            gn = gn_r[c][:, 0:1]  # (128, 1) rel node ids
+            gnrb = gn_r[c]  # (128, 2): [rel node id | gather window base]
+            gn = gnrb[:, 0:1]
 
             # gathers: exact moves of both planes
             gsh = _window_gather(xnh_ref, es, r0, 2)
             gsl = _window_gather(xnl_ref, es, r0, 2)
-            goh = _window_gather(xnh_ref, eo, 0, p_hi)
-            gol = _window_gather(xnl_ref, eo, 0, p_hi)
+            if wg:
+                goh = _rowwise_window_gather(xnh_ref, eo, gnrb[:, 1:2], wg)
+                gol = _rowwise_window_gather(xnl_ref, eo, gnrb[:, 1:2], wg)
+            else:
+                goh = _window_gather(xnh_ref, eo, 0, p_hi)
+                gol = _window_gather(xnl_ref, eo, 0, p_hi)
 
             # y = d⊗x + sign·(gs ⊖ go)
             ph, pe = _two_prod(dh_r[sl, :], xh)
@@ -368,7 +376,7 @@ def _df_pass_one_kernel(
     buh, bul, bvh, bvl, bnh, bnl, winu, winv,
     alphas_h, alphas_l, betas_h, betas_l, bnorm2, steps_out,
     su, sv, sn,
-    *, k, p_hi, c_chunks, tol, ztol,
+    *, k, p_hi, c_chunks, tol, ztol, wg_u=0, wg_v=0,
 ):
     # stacked scratches: slots 0..2 = hi {v_prev, v_curr, w}; 3..5 = lo
     vpuh, vcuh, wuh = su.at[0], su.at[1], su.at[2]
@@ -396,8 +404,8 @@ def _df_pass_one_kernel(
         ref[:] = jnp.zeros(ref.shape, jnp.float32)
 
     orders = (
-        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0),
-        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0, wg_u),
+        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, carry):
@@ -474,7 +482,7 @@ def _df_pass_two_kernel(
     alphas_h, alphas_l, betas_h, betas_l, yh, yl, bnorm2, steps_in,
     xuh, xul, xnh, xnl,
     su, sv, sn,
-    *, k, p_hi, c_chunks,
+    *, k, p_hi, c_chunks, wg_u=0, wg_v=0,
 ):
     vpuh, vcuh, wuh = su.at[0], su.at[1], su.at[2]
     vpul, vcul, wul = su.at[3], su.at[4], su.at[5]
@@ -505,8 +513,8 @@ def _df_pass_two_kernel(
     xnl[:] = l
 
     orders = (
-        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0),
-        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+        (vcuh, vcul, wuh, wul, duh, dul, esu, eou, gnu, winu, 1.0, wg_u),
+        (vcvh, vcvl, wvh, wvl, dvh, dvl, esv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, _):
@@ -582,16 +590,18 @@ def _df_pass_two_kernel(
 
 def _df_matvec_kernel(duh, dul, esu, eou, gnu, dvh, dvl, esv, eov, gnv,
                       xuh, xul, xvh, xvl, xnh, xnl, winu, winv,
-                      yuh, yul, yvh, yvl, ynh, ynl, *, p_hi, c_chunks):
+                      yuh, yul, yvh, yvl, ynh, ynl, *, p_hi, c_chunks,
+                      wg_u=0, wg_v=0):
     orders = (
-        (xuh, xul, yuh, yul, duh, dul, esu, eou, gnu, winu, 1.0),
-        (xvh, xvl, yvh, yvl, dvh, dvl, esv, eov, gnv, winv, -1.0),
+        (xuh, xul, yuh, yul, duh, dul, esu, eou, gnu, winu, 1.0, wg_u),
+        (xvh, xvl, yvh, yvl, dvh, dvl, esv, eov, gnv, winv, -1.0, wg_v),
     )
     _df_emit_matvec(orders, xnh, xnl, ynh, ynl, p_hi=p_hi, c_chunks=c_chunks)
 
 
 def df_kkt_matvec(arrs, wins, xu2, xv2, xn2, *, p_hi: int, c_chunks: int,
-                  p2: int, interpret: bool = False):
+                  p2: int, wg_u: int = 0, wg_v: int = 0,
+                  interpret: bool = False):
     """One double-float A·x in the rep layout (standalone pallas_call).
 
     ``arrs`` = the 10 per-ordering arc arrays (d hi/lo, es, eo, gn3 × u, v);
@@ -612,7 +622,7 @@ def df_kkt_matvec(arrs, wins, xu2, xv2, xn2, *, p_hi: int, c_chunks: int,
             xu.at[0], xu.at[1], xv.at[0], xv.at[1], xn.at[0], xn.at[1],
             winu, winv,
             yu.at[0], yu.at[1], yv.at[0], yv.at[1], yn.at[0], yn.at[1],
-            p_hi=p_hi, c_chunks=c_chunks)
+            p_hi=p_hi, c_chunks=c_chunks, wg_u=wg_u, wg_v=wg_v)
 
     yu2, yv2, yn2 = pl.pallas_call(
         kern,
@@ -651,7 +661,7 @@ class DFFusedKKTSolver:
     MAX_ARCS = 800_000
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
-                 interpret: bool = False):
+                 interpret: bool = False, windowed: bool = False):
         d64 = np.asarray(quad_costs, np.float64)
         m = len(d64)
         if m > self.MAX_ARCS and not interpret:
@@ -663,7 +673,8 @@ class DFFusedKKTSolver:
         d_hi = d64.astype(np.float32)
         d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
         self.layout = SortedKKTLayout.build(
-            d_hi, arc_u, arc_v, num_nodes, dtype=np.float32)
+            d_hi, arc_u, arc_v, num_nodes, dtype=np.float32,
+            windowed=windowed)
         lay = self.layout
         self.interpret = interpret
         self.n = lay.m + lay.p
@@ -720,7 +731,8 @@ class DFFusedKKTSolver:
             kern = functools.partial(
                 _df_pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
                 tol=np.float32(DF_BREAKDOWN_TOL),
-                ztol=np.float32(1000.0 * np.finfo(np.float32).tiny))
+                ztol=np.float32(1000.0 * np.finfo(np.float32).tiny),
+                wg_u=lay.u.wg, wg_v=lay.v.wg)
             self._jits[key] = pl.pallas_call(
                 kern,
                 in_specs=[vm] * 16 + [sm, sm],
@@ -747,7 +759,8 @@ class DFFusedKKTSolver:
             vm = pl.BlockSpec(memory_space=pltpu.VMEM)
             sm = pl.BlockSpec(memory_space=pltpu.SMEM)
             kern = functools.partial(
-                _df_pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C)
+                _df_pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
+                wg_u=lay.u.wg, wg_v=lay.v.wg)
             self._jits[key] = pl.pallas_call(
                 kern,
                 in_specs=[vm] * 16 + [sm] * 10,
