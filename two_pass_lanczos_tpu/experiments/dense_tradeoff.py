@@ -2,7 +2,9 @@
 
 A = B + Bᵀ with random B (seed 42); in this O(n²)-matvec regime two-pass
 costs ≈ 2× one-pass time — the validation of the compute/memory trade-off
-(reference ``tex/report.tex:419``). CSV schema: ``variant,k,time_s,rss_kb``.
+(reference ``tex/report.tex:419``). CSV schema: the reference's
+``variant,k,time_s,rss_kb`` plus ``device_peak_kb`` (see
+``common.device_peak_kb``; the dense one-pass basis is k·n values).
 """
 
 from __future__ import annotations
@@ -30,7 +32,8 @@ def _run_variant(args, variant, emit):
     import numpy as np
 
     import two_pass_lanczos_tpu as tpl
-    from two_pass_lanczos_tpu.experiments.common import log, peak_memory_kb, timed_solve
+    from two_pass_lanczos_tpu.experiments.common import (
+        device_peak_kb, log, peak_memory_kb, timed_solve)
     from two_pass_lanczos_tpu.models.synthetic import dense_random_symmetric
 
     import jax
@@ -40,13 +43,17 @@ def _run_variant(args, variant, emit):
     rng = np.random.default_rng(args.seed)
     b = jnp.asarray(rng.standard_normal(args.size), dtype=dtype)
     method = "one_pass" if variant == "standard" else "two_pass"
+    itemsize = jnp.dtype(dtype).itemsize
     for k in range(args.k_start, args.k_end + 1, args.k_step):
         # warm (compile) with a forced readback, then time
         timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
         _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
         rss = peak_memory_kb()
-        log.info("%s k=%d time=%.4fs mem=%dKB", variant, k, dt, rss)
-        emit(variant, k, dt, rss)
+        basis = k * args.size * itemsize if method == "one_pass" else 0
+        dev_kb = device_peak_kb(basis)
+        log.info("%s k=%d time=%.4fs mem=%dKB dev=%dKB",
+                 variant, k, dt, rss, dev_kb)
+        emit(variant, k, dt, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -73,12 +80,14 @@ def main(argv=None) -> int:
         if args.cpu_f64:
             sub += ["--cpu-f64"]
         rows = run_orchestrated(
-            [MODULE, *sub], lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]))
+            [MODULE, *sub],
+            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]), int(f[4])),
         )
     else:
         for variant in VARIANTS:
             _run_variant(args, variant, lambda *f: rows.append(f))
-    write_csv(args.output, ["variant", "k", "time_s", "rss_kb"], rows)
+    write_csv(args.output,
+              ["variant", "k", "time_s", "rss_kb", "device_peak_kb"], rows)
     return 0
 
 
