@@ -233,3 +233,70 @@ def test_df_one_pass_basis_breakdown_rows_zero():
     d, basis = lanczos_standard_df(op, np.array([1.0, 0.0]), 5)
     assert d.steps() == 1
     np.testing.assert_array_equal(np.asarray(basis.hi)[1:], 0.0)
+
+
+def test_df_four_properties_at_reference_tolerances():
+    """The reference's four-property harness (k=30, tol 5e-9 — its f64-grade
+    tolerances, src/algorithms/mod.rs:360) passes through the double-float
+    path on a generated KKT instance: the f32-hardware path meets the
+    reference's own correctness bar."""
+    from two_pass_lanczos_tpu.algorithms.df import (
+        lanczos_pass_two_with_basis_df, lanczos_standard_df)
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+
+    inst = generate_mcf_instance(3000, rho=3, instance_id=2)
+    m, p = inst.num_arcs, inst.num_nodes
+    n = m + p
+    op = DFKKTOperator.from_f64(inst.quad_costs, inst.arc_u, inst.arc_v, p)
+    rng = np.random.default_rng(42)
+    b = rng.standard_normal(n)
+    k, tol = 30, 5e-9
+
+    decomp, basis = lanczos_standard_df(op, b, k)
+    assert decomp.steps() == k
+    v = (np.asarray(basis.hi, np.float64)
+         + np.asarray(basis.lo, np.float64))  # (k, n)
+    alphas = decomp.alphas_f64()
+    betas = decomp.betas_f64()
+
+    # 1. decomposition consistency: pass-one (scalars-only) == one-pass
+    d2 = lanczos_pass_one_df(op, b, k)
+    np.testing.assert_array_equal(d2.alphas_f64(), alphas)
+    np.testing.assert_array_equal(d2.betas_f64(), betas)
+
+    # dense A for the relation check
+    a = np.zeros((n, n))
+    a[np.arange(m), np.arange(m)] = inst.quad_costs
+    a[np.arange(m), m + inst.arc_u] += 1
+    a[np.arange(m), m + inst.arc_v] -= 1
+    a[m + inst.arc_u, np.arange(m)] += 1
+    a[m + inst.arc_v, np.arange(m)] -= 1
+
+    # 2. Lanczos relation: ||A V - V T - beta_k v_{k+1} e_k^T||_F < tol
+    t = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+    av = v @ a  # (k, n): row j = A v_{j+1}
+    vt = t @ v
+    resid = av - vt
+    # the residual's only nonzero row should be row k-1 = beta_k v_{k+1}
+    beta_k = float(np.asarray(decomp.betas.hi, np.float64)[k - 1]
+                   + np.asarray(decomp.betas.lo, np.float64)[k - 1])
+    v_next = resid[k - 1] / beta_k
+    resid2 = resid.copy()
+    resid2[k - 1] -= beta_k * v_next
+    rel = np.linalg.norm(resid2) / np.linalg.norm(av)
+    assert rel < tol, rel
+    assert abs(np.linalg.norm(v_next) - 1.0) < 1e-6
+
+    # 3. orthonormality
+    gram = v @ v.T
+    assert np.linalg.norm(np.eye(k) - gram) < tol
+
+    # 4. reconstruction stability: regenerated basis == one-pass basis
+    y = np.zeros(k)
+    x2, basis2 = lanczos_pass_two_with_basis_df(op, b, decomp, y)
+    v2 = (np.asarray(basis2.hi, np.float64)
+          + np.asarray(basis2.lo, np.float64))
+    assert np.linalg.norm(v - v2) ** 2 < tol
+    # replay is bit-identical in BOTH planes (the framework's invariant)
+    np.testing.assert_array_equal(np.asarray(basis2.hi), np.asarray(basis.hi))
+    np.testing.assert_array_equal(np.asarray(basis2.lo), np.asarray(basis.lo))

@@ -55,6 +55,7 @@ __all__ = [
     "lanczos_pass_one_df",
     "lanczos_standard_df",
     "lanczos_pass_two_df",
+    "lanczos_pass_two_with_basis_df",
     "solve_fAb_df",
 ]
 
@@ -337,11 +338,25 @@ def lanczos_pass_two_df(operator, b, decomp: DFDecomposition, y_f64) -> DF:
     k = decomp.alphas.hi.shape[0]
     y = df_from_f64(np.pad(np.asarray(y_f64, np.float64),
                            (0, k - len(np.asarray(y_f64)))))
-    return _pass_two_df_jit(operator, b, decomp, y)
+    x, _ = _pass_two_df_jit(operator, b, decomp, y, False)
+    return x
 
 
-@jax.jit
-def _pass_two_df_jit(op, b, decomp, y):
+def lanczos_pass_two_with_basis_df(operator, b, decomp: DFDecomposition,
+                                   y_f64):
+    """df pass two that also returns the regenerated basis as a DF pair of
+    shape (k, n) — rows beyond ``steps_taken`` zeroed (the test-only
+    capability of reference ``lanczos_pass_two_with_basis``, at df
+    precision; used by the df property harness)."""
+    b = _as_df(b)
+    k = decomp.alphas.hi.shape[0]
+    y = df_from_f64(np.pad(np.asarray(y_f64, np.float64),
+                           (0, k - len(np.asarray(y_f64)))))
+    return _pass_two_df_jit(operator, b, decomp, y, True)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _pass_two_df_jit(op, b, decomp, y, emit_basis):
     k = decomp.alphas.hi.shape[0]
     steps = decomp.steps_taken
     inv_n = df_div(DF(jnp.float32(1.0), jnp.float32(0.0)), decomp.b_norm)
@@ -356,7 +371,8 @@ def _pass_two_df_jit(op, b, decomp, y):
             jnp.where(idx < steps, y.lo, 0.0))
     x0 = df_mul(bscal(DF(ym.hi[0], ym.lo[0])), v1)
     if k == 1:
-        return x0
+        basis = DF(v1.hi[None, :], v1.lo[None, :]) if emit_basis else None
+        return x0, basis
 
     bp = DF(jnp.concatenate([jnp.zeros((1,), jnp.float32),
                              decomp.betas.hi[:-1]]),
@@ -386,10 +402,18 @@ def _pass_two_df_jit(op, b, decomp, y):
             return DF(jnp.where(active, a.hi, b_.hi),
                       jnp.where(active, a.lo, b_.lo))
 
-        return (sel(vc, vp), sel(v_next, vc), x_acc), None
+        out = None
+        if emit_basis:
+            out = (jnp.where(active, v_next.hi, 0.0),
+                   jnp.where(active, v_next.lo, 0.0))
+        return (sel(vc, vp), sel(v_next, vc), x_acc), out
 
-    (_, _, x_k), _ = jax.lax.scan(step, (df_zeros_like(b), v1, x0), xs)
-    return x_k
+    (_, _, x_k), outs = jax.lax.scan(step, (df_zeros_like(b), v1, x0), xs)
+    basis = None
+    if emit_basis:
+        basis = DF(jnp.concatenate([v1.hi[None, :], outs[0]], axis=0),
+                   jnp.concatenate([v1.lo[None, :], outs[1]], axis=0))
+    return x_k, basis
 
 
 def solve_fAb_df(operator, b, *, k: int, f="inv",
