@@ -198,3 +198,40 @@ class TestDFSharded:
             DFShardedFusedKKTSolver(
                 np.ones(m), np.zeros(m, np.int32), np.ones(m, np.int32),
                 2, mesh)
+
+
+@pytest.mark.parametrize("case", [
+    # (name, m, p) — the same degenerate topologies as the f32 fuzz
+    ("tiny", 3, 2),
+    ("single_arc", 1, 2),
+    ("p_lane_aligned", 300, 256),
+    ("p_one_segment", 200, 100),
+    ("all_arcs_one_pair", 400, 50),
+    ("hub_and_spokes", 600, 130),
+    ("m_less_than_p", 64, 500),
+], ids=lambda c: c[0])
+def test_df_fused_matvec_fuzz(case, rng):
+    """Edge-case layout fuzz for the df matvec: must match the f64 truth on
+    degenerate topologies (mirrors the f32 kernel's fuzz suite)."""
+    from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
+
+    name, m, p = case
+    if name == "all_arcs_one_pair":
+        u = np.zeros(m, np.int32)
+        v = np.ones(m, np.int32)
+    elif name == "hub_and_spokes":
+        u = np.zeros(m, np.int32)
+        v = (1 + rng.integers(0, p - 1, m)).astype(np.int32)
+    else:
+        u = rng.integers(0, p, m).astype(np.int32)
+        v = ((u + 1 + rng.integers(0, max(p - 1, 1), m)) % p).astype(np.int32)
+    d = rng.uniform(0.5, 5.0, m)
+    b = rng.standard_normal(m + p)
+    s = DFFusedKKTSolver(d, u, v, p, interpret=True)
+    # one pass-one step checks the full df matvec + dots on this geometry
+    ah, al, bh, bl, bn2, st = s.pass_one(s.pack(b), 2)
+    v1 = b / np.linalg.norm(b)
+    y_true = _truth_matvec(d, u, v, p, v1)
+    a1_true = v1 @ y_true
+    a1 = float(np.asarray(ah, np.float64)[0] + np.asarray(al, np.float64)[0])
+    assert abs(a1 - a1_true) < 1e-11 * max(abs(a1_true), 1.0), (a1, a1_true)

@@ -668,8 +668,9 @@ class DFFusedKKTSolver:
             raise ValueError(
                 f"instance has {m} arcs; the df fused solver fits "
                 f"~{self.MAX_ARCS} arcs per chip (state is 2x the f32 "
-                "kernel's). Use algorithms.df.DFKKTOperator + solve_fAb_df "
-                "for larger instances.")
+                "kernel's). Use parallel.DFShardedFusedKKTSolver (arc-"
+                "sharded over a mesh) or algorithms.df.DFKKTOperator + "
+                "solve_fAb_df for larger instances.")
         d_hi = d64.astype(np.float32)
         d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
         self.layout = SortedKKTLayout.build(
