@@ -186,18 +186,39 @@ class TestDFSharded:
         assert steps == 0
         np.testing.assert_array_equal(x, 0.0)
 
-    def test_sharded_df_capacity_guard(self, rng):
+    def test_sharded_df_streaming_autoselect_and_solves(self, rng):
+        """Shards beyond the resident df cap auto-select the grid-streaming
+        df kernel (no capacity wall); a small forced-streaming solve must
+        match the resident path bit-for... to df rounding."""
         import jax
         from jax.sharding import Mesh
         from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
             DFShardedFusedKKTSolver)
 
+        d, u, v = _kkt(rng, 1200, 150)
+        b = rng.standard_normal(1350)
         mesh = Mesh(np.array(jax.devices()[:2]), ("rows",))
-        m = 1_700_000  # 850k per shard > the 800k resident cap
-        with pytest.raises(ValueError, match="devices"):
-            DFShardedFusedKKTSolver(
-                np.ones(m), np.zeros(m, np.int32), np.ones(m, np.int32),
-                2, mesh)
+        s_res = DFShardedFusedKKTSolver(d, u, v, 150, mesh, interpret=True)
+        assert not s_res.streaming
+        x_res, (a_res, _, _) = s_res.solve(b, k=8, f="inv")
+        s_str = DFShardedFusedKKTSolver(d, u, v, 150, mesh, interpret=True)
+        s_str.streaming = True  # force the streaming kernel on a small case
+        x_str, (a_str, _, _) = s_str.solve(b, k=8, f="inv")
+        np.testing.assert_allclose(a_str, a_res, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(x_str, x_res, rtol=0,
+                                   atol=1e-11 * np.abs(x_res).max())
+
+        # auto-selection flips beyond the cap (constructor-level, no solve)
+        from two_pass_lanczos_tpu.ops.kkt_fused import SortedKKTLayout  # noqa
+        import two_pass_lanczos_tpu.ops.kkt_fused_df as dfm
+        old = dfm.DFFusedKKTSolver.MAX_ARCS
+        try:
+            dfm.DFFusedKKTSolver.MAX_ARCS = 500  # make the cap tiny
+            s_big = DFShardedFusedKKTSolver(d, u, v, 150, mesh,
+                                            interpret=True)
+            assert s_big.streaming
+        finally:
+            dfm.DFFusedKKTSolver.MAX_ARCS = old
 
 
 @pytest.mark.parametrize("case", [

@@ -50,7 +50,8 @@ from two_pass_lanczos_tpu.ops.kkt_fused import (
     _window_gather,
 )
 
-__all__ = ["DFFusedKKTSolver", "DF_BREAKDOWN_TOL", "df_kkt_matvec"]
+__all__ = ["DFFusedKKTSolver", "DF_BREAKDOWN_TOL", "df_kkt_matvec",
+           "df_kkt_streaming_matvec"]
 
 #: breakdown tolerance at double-float working precision (1000 · 2⁻⁴⁹).
 DF_BREAKDOWN_TOL = 1000.0 * 2.0 ** -49
@@ -175,7 +176,6 @@ def _df_emit_matvec(orders, xnh_ref, xnl_ref, wnh_ref, wnl_ref, *, p_hi,
     """
     wnh_ref[:] = jnp.zeros(wnh_ref.shape, jnp.float32)
     wnl_ref[:] = jnp.zeros(wnl_ref.shape, jnp.float32)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
     for (xh_r, xl_r, wh_r, wl_r, dh_r, dl_r, es_r, eo_r, gn_r, win_r,
          sign, wg) in orders:
 
@@ -183,55 +183,60 @@ def _df_emit_matvec(orders, xnh_ref, xnl_ref, wnh_ref, wnl_ref, *, p_hi,
                  dh_r=dh_r, dl_r=dl_r, es_r=es_r, eo_r=eo_r, gn_r=gn_r,
                  win_r=win_r, sign=sign, wg=wg):
             sl = pl.ds(c * CHUNK, CHUNK)
-            xh = xh_r[sl, :]
-            xl = xl_r[sl, :]
-            es = es_r[sl, :]
-            eo = eo_r[sl, :]
-            r0 = win_r[c]
-            gnrb = gn_r[c]  # (128, 2): [rel node id | gather window base]
-            gn = gnrb[:, 0:1]
-
-            # gathers: exact moves of both planes
-            gsh = _window_gather(xnh_ref, es, r0, 2)
-            gsl = _window_gather(xnl_ref, es, r0, 2)
-            if wg:
-                goh = _rowwise_window_gather(xnh_ref, eo, gnrb[:, 1:2], wg)
-                gol = _rowwise_window_gather(xnl_ref, eo, gnrb[:, 1:2], wg)
-            else:
-                goh = _window_gather(xnh_ref, eo, 0, p_hi)
-                gol = _window_gather(xnl_ref, eo, 0, p_hi)
-
-            # y = d⊗x + sign·(gs ⊖ go)
-            ph, pe = _two_prod(dh_r[sl, :], xh)
-            pe = pe + (dh_r[sl, :] * xl + dl_r[sl, :] * xh)
-            th, tl = _df_add2(gsh, gsl, -goh, -gol)
-            yh, yl = _df_add2(ph, pe, sign * th, sign * tl)
+            yh, yl = _df_chunk_matvec_scatter(
+                xh_r[sl, :], xl_r[sl, :], es_r[sl, :], eo_r[sl, :],
+                dh_r[sl, :], dl_r[sl, :], gn_r[c], win_r[c], sign, wg,
+                xnh_ref, xnl_ref, wnh_ref, wnl_ref, p_hi=p_hi)
             wh_r[sl, :] = yh
             wl_r[sl, :] = yl
-
-            # compensated segmented-sum scatter: df lane fold per group row,
-            # then masked df row folds into the chunk's 256-node window
-            rsh, rsl = _df_lane_fold(xh, xl)  # (128, 1)
-            mlo = (gn == lanes)
-            z = jnp.float32(0.0)
-            slh, sll = _df_row_fold(jnp.where(mlo, rsh, z),
-                                    jnp.where(mlo, rsl, z))
-            mhi = (gn - LANE == lanes)
-            shh, shl = _df_row_fold(jnp.where(mhi, rsh, z),
-                                    jnp.where(mhi, rsl, z))
-            ah, al = _df_add2(wnh_ref[pl.ds(r0, 1), :],
-                              wnl_ref[pl.ds(r0, 1), :],
-                              sign * slh, sign * sll)
-            wnh_ref[pl.ds(r0, 1), :] = ah
-            wnl_ref[pl.ds(r0, 1), :] = al
-            bh2, bl2 = _df_add2(wnh_ref[pl.ds(r0 + 1, 1), :],
-                                wnl_ref[pl.ds(r0 + 1, 1), :],
-                                sign * shh, sign * shl)
-            wnh_ref[pl.ds(r0 + 1, 1), :] = bh2
-            wnl_ref[pl.ds(r0 + 1, 1), :] = bl2
             return 0
 
         jax.lax.fori_loop(0, c_chunks, body, 0)
+
+
+def _df_chunk_matvec_scatter(xh, xl, es, eo, dh, dl, gnrb, r0, sign, wg,
+                             xnh_ref, xnl_ref, wnh_ref, wnl_ref, *, p_hi):
+    """One (CHUNK, 128) df matvec tile: returns the arc outputs (yh, yl)
+    and df-accumulates the node scatter partial into ``wn*_ref``. Shared by
+    the resident (:func:`_df_emit_matvec`) and grid-streaming
+    (:func:`_df_matvec_streaming_kernel`) kernels."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
+    gn = gnrb[:, 0:1]
+
+    # gathers: exact moves of both planes
+    gsh = _window_gather(xnh_ref, es, r0, 2)
+    gsl = _window_gather(xnl_ref, es, r0, 2)
+    if wg:
+        goh = _rowwise_window_gather(xnh_ref, eo, gnrb[:, 1:2], wg)
+        gol = _rowwise_window_gather(xnl_ref, eo, gnrb[:, 1:2], wg)
+    else:
+        goh = _window_gather(xnh_ref, eo, 0, p_hi)
+        gol = _window_gather(xnl_ref, eo, 0, p_hi)
+
+    # y = d⊗x + sign·(gs ⊖ go)
+    ph, pe = _two_prod(dh, xh)
+    pe = pe + (dh * xl + dl * xh)
+    th, tl = _df_add2(gsh, gsl, -goh, -gol)
+    yh, yl = _df_add2(ph, pe, sign * th, sign * tl)
+
+    # compensated segmented-sum scatter: df lane fold per group row, then
+    # masked df row folds into the chunk's 256-node window
+    rsh, rsl = _df_lane_fold(xh, xl)  # (128, 1)
+    mlo = (gn == lanes)
+    z = jnp.float32(0.0)
+    slh, sll = _df_row_fold(jnp.where(mlo, rsh, z), jnp.where(mlo, rsl, z))
+    mhi = (gn - LANE == lanes)
+    shh, shl = _df_row_fold(jnp.where(mhi, rsh, z), jnp.where(mhi, rsl, z))
+    ah, al = _df_add2(wnh_ref[pl.ds(r0, 1), :], wnl_ref[pl.ds(r0, 1), :],
+                      sign * slh, sign * sll)
+    wnh_ref[pl.ds(r0, 1), :] = ah
+    wnl_ref[pl.ds(r0, 1), :] = al
+    bh2, bl2 = _df_add2(wnh_ref[pl.ds(r0 + 1, 1), :],
+                        wnl_ref[pl.ds(r0 + 1, 1), :],
+                        sign * shh, sign * shl)
+    wnh_ref[pl.ds(r0 + 1, 1), :] = bh2
+    wnl_ref[pl.ds(r0 + 1, 1), :] = bl2
+    return yh, yl
 
 
 def _df_dot_rep(auh, aul, anh, anl, buh, bul, bnh, bnl):
@@ -582,6 +587,77 @@ def _df_pass_two_kernel(
 
     if k > 1:
         jax.lax.fori_loop(0, k - 1, step, 0)
+
+
+# ---------------------------------------------------------------------------
+# Grid-streaming df matvec: instances beyond the resident VMEM cap
+# ---------------------------------------------------------------------------
+
+def _df_matvec_streaming_kernel(duh, dul, esu, eou, gnu, dvh, dvl, esv, eov,
+                                gnv, xu, xv, xn, winu, winv,
+                                yu, yv, yn, acc, *, p_hi, wg_u, wg_v):
+    """One grid step = one CHUNK of both orderings, df blocks streamed from
+    HBM (Pallas double-buffers them) — the df analogue of
+    ``kkt_fused._matvec_streaming_kernel``. The node table and the df
+    scatter accumulator stay resident; the accumulator flushes to ``yn`` at
+    the last (sequential) grid step."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros(acc.shape, jnp.float32)
+
+    for (x_ref, y_ref, dh_ref, dl_ref, es_ref, eo_ref, gn_ref, win_ref,
+         sign, wg) in (
+            (xu, yu, duh, dul, esu, eou, gnu, winu, 1.0, wg_u),
+            (xv, yv, dvh, dvl, esv, eov, gnv, winv, -1.0, wg_v)):
+        yh, yl = _df_chunk_matvec_scatter(
+            x_ref[0], x_ref[1], es_ref[:], eo_ref[:],
+            dh_ref[:], dl_ref[:], gn_ref[0], win_ref[i], sign, wg,
+            xn.at[0], xn.at[1], acc.at[0], acc.at[1], p_hi=p_hi)
+        y_ref[0] = yh
+        y_ref[1] = yl
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        yn[:] = acc[:]
+
+
+def df_kkt_streaming_matvec(arrs, wins, xu2, xv2, xn2, *, p_hi: int,
+                            c_chunks: int, p2: int, wg_u: int = 0,
+                            wg_v: int = 0, interpret: bool = False):
+    """Grid-blocked double-float A·x in the rep layout; any instance size
+    (arc data re-read from HBM per matvec). Same stacked-pair interface as
+    :func:`df_kkt_matvec`; the node output is the LOCAL partial when used
+    per-shard."""
+    r = xu2.shape[1]
+    blk = lambda: pl.BlockSpec((CHUNK, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    blk2 = lambda: pl.BlockSpec((2, CHUNK, LANE), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    gnb = lambda: pl.BlockSpec((1, CHUNK, 2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full2 = pl.BlockSpec((2, p2, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = functools.partial(_df_matvec_streaming_kernel, p_hi=p_hi,
+                             wg_u=wg_u, wg_v=wg_v)
+    return pl.pallas_call(
+        kern,
+        grid=(c_chunks,),
+        in_specs=[blk(), blk(), blk(), blk(), gnb(),
+                  blk(), blk(), blk(), blk(), gnb(),
+                  blk2(), blk2(), full2, sm, sm],
+        out_specs=[blk2(), blk2(), full2],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2, r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((2, p2, LANE), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, p2, LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*arrs, xu2, xv2, xn2, *wins)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ from two_pass_lanczos_tpu.ops.kkt_fused import LANE, SortedKKTLayout, _pad_order
 from two_pass_lanczos_tpu.ops.kkt_fused_df import (
     DF_BREAKDOWN_TOL,
     df_kkt_matvec,
+    df_kkt_streaming_matvec,
 )
 
 __all__ = ["DFShardedFusedKKTSolver"]
@@ -82,18 +83,13 @@ class DFShardedFusedKKTSolver:
         d_lo = (d64 - d_hi.astype(np.float64)).astype(np.float32)
 
         self.arc_idx = np.array_split(np.arange(m, dtype=np.int64), ndev)
-        # the per-device df matvec kernel is fully VMEM-resident (no grid
-        # streaming, unlike the f32 sharded solver) — enforce the same
-        # per-chip capacity as DFFusedKKTSolver, per shard
+        # per-device kernel selection: the resident df matvec up to the
+        # per-chip df VMEM cap, the grid-streaming df matvec beyond it
+        # (arc data re-read from HBM per matvec) — so ANY shard size works
         from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
 
         max_shard = max(len(ix) for ix in self.arc_idx)
-        if max_shard > DFFusedKKTSolver.MAX_ARCS and not interpret:
-            raise ValueError(
-                f"largest arc shard has {max_shard} arcs; the resident df "
-                f"kernel fits ~{DFFusedKKTSolver.MAX_ARCS} arcs per device "
-                f"— use >= {-(-m // DFFusedKKTSolver.MAX_ARCS)} devices for "
-                f"this {m}-arc instance.")
+        self.streaming = max_shard > DFFusedKKTSolver.MAX_ARCS
         layouts = [
             SortedKKTLayout.build(d_hi[ix], arc_u[ix], arc_v[ix], num_nodes)
             for ix in self.arc_idx
@@ -170,6 +166,8 @@ class DFShardedFusedKKTSolver:
         axis = self.axis
         kw = dict(p_hi=self.p_hi, c_chunks=self.C, p2=self.P2,
                   interpret=self.interpret)
+        kernel = (df_kkt_streaming_matvec if self.streaming
+                  else df_kkt_matvec)
 
         def gather_fold_scalar(s: DF) -> DF:
             parts_h = lax.all_gather(s.hi, axis)
@@ -177,7 +175,7 @@ class DFShardedFusedKKTSolver:
             return _df_fold_leading(parts_h, parts_l)
 
         def matvec(arrs, wins, vu, vv, vn):
-            yu, yv, yn_part = df_kkt_matvec(arrs, wins, vu, vv, vn, **kw)
+            yu, yv, yn_part = kernel(arrs, wins, vu, vv, vn, **kw)
             # df-safe node reduce: all-gather the tiny partials, fold in
             # device order (a plain f32 psum would re-round to f32)
             gh = lax.all_gather(yn_part[0], axis)
