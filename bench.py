@@ -68,19 +68,25 @@ def main() -> int:
             return b * (1.0 + 1e-6 * (i + 1))
 
     run(sample_input(-1))  # compile
+    # Median of >= 5: the tunneled chip is time-shared with ±30% noise, so a
+    # single draw (or a min) keeps "contradicting" the documented numbers
+    # round-over-round (VERDICT r2 item 3). The JSON reports median (the
+    # headline), min (best case), and the sample list.
     samples = []
-    for i in range(4):
+    for i in range(6):
         bb = sample_input(i)  # distinct inputs defeat result caching
         t0 = time.perf_counter()
         run(bb)
         samples.append(time.perf_counter() - t0)
-    t = min(samples)
+    t = float(np.median(samples))
 
     record = {
         "metric": f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(ref_time_s / t, 2),
+        "value_min": round(min(samples), 4),
+        "samples": [round(s, 4) for s in samples],
     }
 
     if backend == "tpu":
@@ -112,15 +118,16 @@ def main() -> int:
             b64 = rng.standard_normal(n)
             dfs.solve(b64, k=k, f="inv")  # compile
             df_samples = []
-            for i in range(3):
+            for i in range(5):
                 bb64 = b64 * (1.0 + 1e-9 * (i + 1))  # defeat result caching
                 t0 = time.perf_counter()
                 dfs.solve(bb64, k=k, f="inv")
                 df_samples.append(time.perf_counter() - t0)
-            t_df = min(df_samples)
+            t_df = float(np.median(df_samples))
             record.update(
                 df_fused_wallclock_s=round(t_df, 4),
                 df_fused_vs_reference_f64=round(ref_time_s / t_df, 2),
+                df_fused_wallclock_min_s=round(min(df_samples), 4),
             )
         except Exception as e:  # noqa: BLE001
             record["df_fused_error"] = str(e)[:200]

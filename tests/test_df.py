@@ -300,3 +300,18 @@ def test_df_four_properties_at_reference_tolerances():
     # replay is bit-identical in BOTH planes (the framework's invariant)
     np.testing.assert_array_equal(np.asarray(basis2.hi), np.asarray(basis.hi))
     np.testing.assert_array_equal(np.asarray(basis2.lo), np.asarray(basis.lo))
+
+
+def test_df_operator_table_guard_hub_graph():
+    """`DFKKTOperator.from_f64` refuses to densify a hub-heavy incidence
+    into an O(p·max_degree) table (ADVICE r2 item 1): the error names the
+    sharded df solver as the escape hatch."""
+    from two_pass_lanczos_tpu.algorithms.df import DFKKTOperator
+
+    p = 70_000
+    m = 2000
+    u = np.zeros(m, np.int64)  # star: node 0 has degree m
+    v = 1 + np.arange(m, dtype=np.int64) % (p - 1)
+    d = np.ones(m)
+    with pytest.raises(ValueError, match="DFShardedFusedKKTSolver"):
+        DFKKTOperator.from_f64(d, u, v, p)

@@ -165,6 +165,40 @@ def test_vmem_size_guard():
                        np.ones(big, np.int32), 100)
 
 
+def test_vmem_guard_is_layout_derived(rng):
+    """The authoritative admission bound is computed from the BUILT layout
+    (VERDICT r2 item 9): `pass_vmem_bytes` matches an independent plane
+    count, and a pathological-padding instance under the MAX_ARCS
+    pre-screen still raises with the measured byte count."""
+    from two_pass_lanczos_tpu.ops.kkt_fused import (
+        CHUNK, LANE, FusedKKTSolver, SortedKKTLayout)
+
+    d, u, v, p = _random_kkt(rng, m=700, p=90)
+    lay = SortedKKTLayout.build(d, u, v, p)
+    # independent accounting: 14 (R,128) planes (3 arc planes x 2 orderings,
+    # 2 b inputs, 6 work buffers), 2 group tables, 4 node planes
+    expect = (14 * lay.u.R * LANE * 4 + 2 * lay.u.C * CHUNK * 2 * 4
+              + 4 * lay.P2 * LANE * 4)
+    assert FusedKKTSolver.pass_vmem_bytes(lay) == expect
+
+    # every node gets >= 1 group, so p >> m forces huge slot padding: the
+    # old constant-only guard admitted this shape, the exact one must not.
+    p_huge = 4000
+    m_small = 64
+    uu = np.arange(m_small, dtype=np.int32)
+    vv = (uu + 1).astype(np.int32)
+    dd = np.ones(m_small, np.float32)
+    lay2 = SortedKKTLayout.build(dd, uu, vv, p_huge)
+    need = FusedKKTSolver.pass_vmem_bytes(lay2)
+    old = FusedKKTSolver.VMEM_BUDGET
+    try:
+        FusedKKTSolver.VMEM_BUDGET = need - 1
+        with pytest.raises(ValueError, match=str(need)):
+            FusedKKTSolver(dd, uu, vv, p_huge)
+    finally:
+        FusedKKTSolver.VMEM_BUDGET = old
+
+
 def test_checkpoint_resume_fused(rng, tmp_path):
     """Pass-one state from the fused kernel checkpoints and resumes pass two
     (the reference's 'arbitrary work between passes' capability, SURVEY §5)."""

@@ -256,3 +256,65 @@ def test_df_fused_matvec_fuzz(case, rng):
     a1_true = v1 @ y_true
     a1 = float(np.asarray(ah, np.float64)[0] + np.asarray(al, np.float64)[0])
     assert abs(a1 - a1_true) < 1e-11 * max(abs(a1_true), 1.0), (a1, a1_true)
+
+
+def test_kernel_eft_helpers_exact_in_interpret_mode():
+    """Pin the kernel-side EFTs (`_two_sum_k`, `_two_prod`, `_df_add2` in
+    ops/kkt_fused.py, shared by the df kernels) through the interpret-mode
+    XLA CPU pipeline — the exact path where LLVM FMA contraction was
+    observed zeroing error terms (`ops/df.py` docstring). The kernel `_ob`
+    hook is an identity, so nothing but the mask-split construction protects
+    these chains; this test is the tripwire for a future XLA upgrade
+    re-introducing the hazard (ADVICE r2 item 2)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from two_pass_lanczos_tpu.ops.kkt_fused import (
+        LANE, _df_add2, _two_prod, _two_sum_k)
+
+    def kern(a_ref, b_ref, s_ref, e_ref, ph_ref, pl_ref, dh_ref, dl_ref):
+        a, b = a_ref[:], b_ref[:]
+        s, e = _two_sum_k(a, b)
+        s_ref[:], e_ref[:] = s, e
+        ph, pe = _two_prod(a, a)
+        ph_ref[:], pl_ref[:] = ph, pe
+        dh, dl = _df_add2(a, jnp.zeros_like(a), b, jnp.zeros_like(b))
+        dh_ref[:], dl_ref[:] = dh, dl
+
+    a = np.full((1, LANE), 1.0 + 2.0 ** -12, np.float32)
+    b = np.full((1, LANE), 2.0 ** -30, np.float32)
+    out_shape = [jax.ShapeDtypeStruct((1, LANE), jnp.float32)] * 6
+    s, e, ph, pe, dh, dl = pl.pallas_call(
+        kern, out_shape=out_shape, interpret=True)(
+            jnp.asarray(a), jnp.asarray(b))
+    # two_sum(1 + 2^-12, 2^-30): s rounds to 1 + 2^-12, error term exactly
+    # 2^-30 — an FMA/simplifier-perturbed chain yields e == 0 instead.
+    np.testing.assert_array_equal(np.asarray(s), a)
+    np.testing.assert_array_equal(np.asarray(e), b)
+    # two_prod(1 + 2^-12, 1 + 2^-12) = 1 + 2^-11 + 2^-24 exactly; the f32
+    # head is 1 + 2^-11 (round-to-even on the half-ULP tie), tail 2^-24.
+    np.testing.assert_array_equal(
+        np.asarray(ph), np.float32(1.0 + 2.0 ** -11))
+    np.testing.assert_array_equal(np.asarray(pe), np.float32(2.0 ** -24))
+    # df_add2 renormalization keeps the tail exactly.
+    np.testing.assert_array_equal(np.asarray(dh), a)
+    np.testing.assert_array_equal(np.asarray(dl), b)
+
+
+def test_df_pass_two_direct_subnormal_b_yields_zeros(rng):
+    """Direct `pass_two` with a subnormal-norm b (recorded steps=0 by pass
+    one) must produce zeros, not NaN: the reciprocal gate uses the same
+    1000·tiny cutoff as pass one (ADVICE r2 item 3 — 1/b_norm would
+    overflow to inf and 0·inf = NaN in the masked x accumulation)."""
+    d, u, v = _kkt(rng, 900, 80)
+    s = DFFusedKKTSolver(d, u, v, 80, interpret=True)
+    b = np.full(900 + 80, 1e-42)  # subnormal in f32; norm <= 1000*tiny
+    b_rep = s.pack(b)
+    coeffs = s.pass_one(b_rep, 4)
+    assert int(coeffs[5][0]) == 0
+    k = 4
+    y = jnp.zeros(k, jnp.float32)
+    xuh, xul, xnh, xnl = s.pass_two(b_rep, coeffs, y, y)
+    for arr in (xuh, xul, xnh, xnl):
+        a = np.asarray(arr)
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, 0.0)

@@ -138,10 +138,26 @@ class DFKKTOperator:
         m = len(arc_u)
         p = int(num_nodes)
 
+        # The dense (p, K) table is O(p · max_degree): on hub-heavy graphs
+        # (star-like topologies) that is O(n·m) and OOMs long before the
+        # instance itself is large. Guard with a clear error instead of an
+        # opaque allocation failure; the sharded/fused df paths don't build
+        # this table.
+        MAX_TABLE_ENTRIES = 1 << 26  # 256 MB of int32 per endpoint table
+
         def table(key):
             counts = np.bincount(key, minlength=p)
             k_max = max(int(counts.max()), 1)
             k_pad = 1 << (k_max - 1).bit_length()  # pow2: clean pairwise fold
+            if p * k_pad > MAX_TABLE_ENTRIES:
+                raise ValueError(
+                    f"DFKKTOperator.from_f64: dense segmented-sum table would"
+                    f" be {p} nodes x {k_pad} slots (max degree {k_max}) ="
+                    f" {p * k_pad} int32 entries, over the"
+                    f" {MAX_TABLE_ENTRIES}-entry cap. This hub-heavy topology"
+                    f" needs the arc-sharded df path instead:"
+                    f" ops.kkt_fused_df.DFFusedKKTSolver (single chip) or"
+                    f" parallel.DFShardedFusedKKTSolver (mesh).")
             tab = np.full((p, k_pad), m, np.int32)  # m = zero pad slot
             order = np.argsort(key, kind="stable")
             ks = key[order]

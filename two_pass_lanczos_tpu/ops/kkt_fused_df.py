@@ -487,7 +487,7 @@ def _df_pass_two_kernel(
     alphas_h, alphas_l, betas_h, betas_l, yh, yl, bnorm2, steps_in,
     xuh, xul, xnh, xnl,
     su, sv, sn,
-    *, k, p_hi, c_chunks, wg_u=0, wg_v=0,
+    *, k, p_hi, c_chunks, ztol, wg_u=0, wg_v=0,
 ):
     vpuh, vcuh, wuh = su.at[0], su.at[1], su.at[2]
     vpul, vcul, wul = su.at[3], su.at[4], su.at[5]
@@ -497,9 +497,13 @@ def _df_pass_two_kernel(
     vpnl, vcnl, wnl = sn.at[3], sn.at[4], sn.at[5]
 
     steps = steps_in[0]
+    # Same zero-b cutoff as pass one (ztol = 1000·tiny, the underflow-based
+    # zero_tolerance): a subnormal-norm b that pass one recorded as steps=0
+    # must not hit the reciprocal (1/b_norm overflows to inf in f32 and the
+    # y-masked accumulation would then produce 0·inf = NaN).
+    zero_b = bnorm2[0] <= ztol
     inh, inl = _df_scalar_recip(
-        jnp.where(bnorm2[0] > 0, bnorm2[0], 1.0), bnorm2[1])
-    zero_b = bnorm2[0] <= 0
+        jnp.where(zero_b, 1.0, bnorm2[0]), bnorm2[1])
     inh = jnp.where(zero_b, 0.0, inh)
     inl = jnp.where(zero_b, 0.0, inl)
     _df_scale_ref(vcuh, vcul, buh, bul, inh, inl, c_chunks)
@@ -732,9 +736,24 @@ class DFFusedKKTSolver:
     ``algorithms/df.solve_fAb_df``.
     """
 
-    #: ~120 B per padded slot (d pair + 2 index planes per ordering + 6
-    #: df vector planes per copy); v5e usable VMEM ≈ 110 MB.
-    MAX_ARCS = 800_000
+    VMEM_BUDGET = 110 * 1024 * 1024
+    #: (R,128) planes per fused df pass: per ordering d hi/lo + es + eo = 8,
+    #: 4 b inputs, 12 stacked work slots (two (6,R,128) scratches) = 24
+    #: → 96 B per padded slot before padding. Exact check below.
+    N_BIG_PLANES = 24
+    #: conservative shape-only pre-screen (≤40% padding assumed) for path
+    #: selection without a layout build; exact guard in ``__init__``.
+    MAX_ARCS = int(VMEM_BUDGET / (96 * 1.4))  # ~858k
+
+    @classmethod
+    def pass_vmem_bytes(cls, layout: SortedKKTLayout) -> int:
+        """Exact per-pass VMEM footprint for ``layout`` (df kernels): big
+        planes + the (6,P2,128) node scratch + 2 node inputs + group
+        tables."""
+        big = layout.u.R * LANE * 4
+        small = layout.P2 * LANE * 4
+        gn = layout.u.C * CHUNK * 2 * 4
+        return cls.N_BIG_PLANES * big + 2 * gn + (2 + 6) * small
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  interpret: bool = False, windowed: bool = False):
@@ -752,6 +771,14 @@ class DFFusedKKTSolver:
         self.layout = SortedKKTLayout.build(
             d_hi, arc_u, arc_v, num_nodes, dtype=np.float32,
             windowed=windowed)
+        need = self.pass_vmem_bytes(self.layout)
+        if need > self.VMEM_BUDGET and not interpret:
+            raise ValueError(
+                f"instance needs {need} bytes of VMEM for a fused df pass"
+                f" (R={self.layout.u.R} padded rows from {m} arcs), over the"
+                f" {self.VMEM_BUDGET}-byte per-chip budget. Use"
+                " parallel.DFShardedFusedKKTSolver or the df streaming"
+                " matvec path.")
         lay = self.layout
         self.interpret = interpret
         self.n = lay.m + lay.p
@@ -837,6 +864,7 @@ class DFFusedKKTSolver:
             sm = pl.BlockSpec(memory_space=pltpu.SMEM)
             kern = functools.partial(
                 _df_pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
+                ztol=np.float32(1000.0 * np.finfo(np.float32).tiny),
                 wg_u=lay.u.wg, wg_v=lay.v.wg)
             self._jits[key] = pl.pallas_call(
                 kern,
