@@ -51,8 +51,7 @@ def main() -> int:
     # --- 1. collective tables from compiled HLO (8 devices) ---
     op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
     txt = op._solver(args.k, "inv", "two_pass").lower(
-        op.local_rows, op.local_cols, op.local_vals,
-        op._prepare_b(b)).compile().as_text()
+        op.local_blocks, op._prepare_b(b)).compile().as_text()
     generic = [vars(o) | {"bytes_out": o.bytes_out}
                for o in collectives_in_hlo(txt)]
 

@@ -46,8 +46,7 @@ def test_generic_path_collectives(mesh8, inst):
     op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
     b = np.random.default_rng(0).standard_normal(inst.num_arcs + inst.num_nodes)
     solver = op._solver(8, "inv", "two_pass")
-    txt = _compiled_text(solver, op.local_rows, op.local_cols, op.local_vals,
-                         op._prepare_b(b))
+    txt = _compiled_text(solver, op.local_blocks, op._prepare_b(b))
     ops = collectives_in_hlo(txt)
     gathers = [o for o in ops if o.kind == "all-gather"]
     # one all-gather of the full padded vector per pass (pass one + pass two)
@@ -91,8 +90,8 @@ def test_traffic_ratio_matches_perf_model(mesh8, inst):
 
     op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
     b = np.random.default_rng(1).standard_normal(inst.num_arcs + inst.num_nodes)
-    txt_g = _compiled_text(op._solver(4, "inv", "two_pass"), op.local_rows,
-                           op.local_cols, op.local_vals, op._prepare_b(b))
+    txt_g = _compiled_text(op._solver(4, "inv", "two_pass"), op.local_blocks,
+                           op._prepare_b(b))
     gathers = [o for o in collectives_in_hlo(txt_g) if o.kind == "all-gather"]
     # per step = one instance (XLA may dedupe the pass-1/pass-2 bodies)
     per_step_gather = max(o.bytes_out // o.count for o in gathers)
@@ -123,3 +122,70 @@ def test_nnz_balance(mesh8, inst):
     per = op.nnz_per_device
     assert per.sum() == 5 * inst.num_arcs
     assert per.max() / per.mean() < 1.02, per
+
+
+def test_generic_matvec_overlaps_halo_with_owned_spmv(mesh8, inst):
+    """SURVEY §7 stage 5: the all-gather (halo exchange) must be
+    data-independent of the owned-column SpMV so the scheduler can overlap
+    them. Asserted structurally on the traced jaxpr: the owned scatter-add
+    consumes no value derived from the all_gather, while the remote
+    scatter-add does."""
+    from two_pass_lanczos_tpu.parallel.sharded import (
+        ShardedSparseOperator, _local_matvec)
+
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
+
+    def run(blocks, x_local):
+        blocks = tuple(a[0] for a in blocks)
+        return _local_matvec(blocks, x_local, "rows", op.part.rows_per)
+
+    shmapped = jax.shard_map(
+        run, mesh=mesh8,
+        in_specs=(tuple([jax.sharding.PartitionSpec("rows", None)] * 6),
+                  jax.sharding.PartitionSpec("rows")),
+        out_specs=jax.sharding.PartitionSpec("rows"), check_vma=False)
+    x = np.zeros(op.part.n_pad)
+    jaxpr = jax.make_jaxpr(shmapped)(
+        tuple(np.asarray(a) for a in op.local_blocks), x)
+
+    def find_inner(jx):
+        for eqn in jx.eqns:
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns"):
+                    names = [e.primitive.name for e in inner.eqns]
+                    if "all_gather" in names:
+                        return inner
+        return jx.jaxpr
+
+    inner = find_inner(jaxpr)
+    tainted = set()
+    scatter_taint = []
+    for eqn in inner.eqns:
+        deps = any(getattr(v, "count", None) is not None and v in tainted
+                   for v in eqn.invars)
+        if eqn.primitive.name == "all_gather" or deps:
+            tainted.update(eqn.outvars)
+        if eqn.primitive.name in ("scatter-add", "scatter_add"):
+            scatter_taint.append(deps)
+    assert len(scatter_taint) == 2, scatter_taint
+    assert scatter_taint[0] is False, "owned SpMV depends on the all-gather"
+    assert scatter_taint[1] is True, "remote part must consume the gather"
+
+
+def test_generic_split_matvec_matches_dense(mesh8, inst):
+    """Owned+remote split must reproduce the full SpMV exactly (same
+    triplets, two scatter-adds instead of one)."""
+    from two_pass_lanczos_tpu.parallel.sharded import ShardedSparseOperator
+
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh8, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(inst.num_arcs + inst.num_nodes)
+    y = op.matvec_distributed(x)
+    m = inst.num_arcs
+    d = inst.quad_costs
+    yt = np.zeros_like(y)
+    yt[:m] = d * x[:m] + x[m + inst.arc_u] - x[m + inst.arc_v]
+    np.add.at(yt, m + inst.arc_u, x[:m])
+    np.add.at(yt, m + inst.arc_v, -x[:m])
+    assert np.allclose(y, yt, rtol=1e-12, atol=1e-12)

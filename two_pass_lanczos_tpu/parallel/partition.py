@@ -23,7 +23,8 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["RowPartition", "snake_partition", "build_local_blocks"]
+__all__ = ["RowPartition", "snake_partition", "build_local_blocks",
+           "build_local_blocks_split"]
 
 
 class RowPartition(NamedTuple):
@@ -117,3 +118,59 @@ def build_local_blocks(rows, cols, vals, part: RowPartition, pad_multiple: int =
         lc[d, :c] = pos_c[s:e]
         lv[d, :c] = vals[s:e]
     return lr, lc, lv
+
+
+def build_local_blocks_split(rows, cols, vals, part: RowPartition,
+                             pad_multiple: int = 128):
+    """Per-device local blocks split into OWNED-column and REMOTE-column
+    parts (SURVEY §7 stage 5: halo exchange *overlapped with* the
+    diagonal-block SpMV).
+
+    The owned part touches only columns this device's vector shard already
+    holds, so it is data-independent of the ``all_gather`` — XLA's
+    latency-hiding scheduler can run the collective concurrently with it,
+    and the remote part applies once the gathered vector lands.
+
+    Returns two triples of ``(ndev, ·)`` stacked arrays:
+
+    * owned: ``(lr, lc_local, lv)`` with ``lc_local`` indexing the *local*
+      shard (0..rows_per-1);
+    * remote: ``(lr, lc_global, lv)`` with ``lc_global`` indexing the
+      all-gathered vector.
+
+    Both keep local rows ascending (monotonic segment-sum contract) and pad
+    with the last local row / col 0 / val 0 like :func:`build_local_blocks`.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    pos_r = part.inv_perm[rows]
+    pos_c = part.inv_perm[cols]
+    dev = pos_r // part.rows_per
+    lrow = pos_r - dev * part.rows_per
+    owned = (pos_c // part.rows_per) == dev
+
+    order = np.lexsort((lrow, dev))
+    dev, lrow, pos_c, vals, owned = (
+        dev[order], lrow[order], pos_c[order], vals[order], owned[order])
+
+    def pack(mask, local_cols: bool):
+        d_m, lrow_m, pos_m, val_m = dev[mask], lrow[mask], pos_c[mask], vals[mask]
+        counts = np.bincount(d_m, minlength=part.ndev)
+        mx = int(counts.max()) if counts.size else 0
+        mx = max(((mx + pad_multiple - 1) // pad_multiple) * pad_multiple,
+                 pad_multiple)
+        lr = np.full((part.ndev, mx), part.rows_per - 1, dtype=np.int32)
+        lc = np.zeros((part.ndev, mx), dtype=np.int32)
+        lv = np.zeros((part.ndev, mx), dtype=vals.dtype)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        cvals = (pos_m - d_m * part.rows_per) if local_cols else pos_m
+        for d in range(part.ndev):
+            s, e = starts[d], starts[d + 1]
+            c = e - s
+            lr[d, :c] = lrow_m[s:e]
+            lc[d, :c] = cvals[s:e]
+            lv[d, :c] = val_m[s:e]
+        return lr, lc, lv
+
+    return pack(owned, True), pack(~owned, False)

@@ -5,8 +5,12 @@ n-vector are sharded over a 1-D mesh axis; each Lanczos step inside the
 jitted ``lax.scan`` does
 
 1. ``all_gather`` of the current Krylov vector over the mesh axis (the
-   remote-segment exchange; rides ICI within a slice),
-2. the local row-block SpMV (gather + monotonic segment-sum),
+   remote-segment exchange; rides ICI within a slice), **overlapped with**
+2. the OWNED-column part of the local row-block SpMV — the local triplets
+   are split host-side into owned-column (reads only this device's shard,
+   data-independent of the collective, so XLA's latency-hiding scheduler
+   runs them concurrently) and remote-column parts; the remote part applies
+   once the gathered vector lands (SURVEY §7 stage 5),
 3. the two scalar reductions (α dot product, β norm) as cross-device
    ``psum``s of local partials.
 
@@ -35,7 +39,7 @@ from two_pass_lanczos_tpu.algorithms.two_pass import _reconstruction_scan
 from two_pass_lanczos_tpu.functions import padded_f_e1
 from two_pass_lanczos_tpu.parallel.partition import (
     RowPartition,
-    build_local_blocks,
+    build_local_blocks_split,
     snake_partition,
 )
 from two_pass_lanczos_tpu.ops.spmv import SortedCOO
@@ -43,13 +47,27 @@ from two_pass_lanczos_tpu.ops.spmv import SortedCOO
 __all__ = ["ShardedSparseOperator"]
 
 
-def _local_matvec(lr, lc, lv, x_local, axis, rows_per):
-    """y_local = (local row block of A) @ x, with x sharded over `axis`."""
+def _local_matvec(blocks, x_local, axis, rows_per):
+    """y_local = (local row block of A) @ x, with x sharded over ``axis``.
+
+    ``blocks = (lr_o, lc_o, lv_o, lr_r, lc_r, lv_r)`` — owned-column part
+    (local column ids) and remote-column part (gathered-vector column ids).
+    The owned scatter-add depends only on ``x_local``, NOT on the
+    ``all_gather`` result: the collective and the diagonal-block SpMV are
+    data-independent, which is what lets the compiler overlap them
+    (asserted structurally by ``tests/test_collectives.py``)."""
+    lr_o, lc_o, lv_o, lr_r, lc_r, lv_r = blocks
     x_full = lax.all_gather(x_local, axis, tiled=True)
-    gathered = lv * x_full.at[lc].get(mode="promise_in_bounds")
     y = jnp.zeros((rows_per,), dtype=x_local.dtype)
-    return y.at[lr].add(
-        gathered.astype(x_local.dtype),
+    owned = lv_o * x_local.at[lc_o].get(mode="promise_in_bounds")
+    y = y.at[lr_o].add(
+        owned.astype(x_local.dtype),
+        mode="promise_in_bounds",
+        indices_are_sorted=True,
+    )
+    remote = lv_r * x_full.at[lc_r].get(mode="promise_in_bounds")
+    return y.at[lr_r].add(
+        remote.astype(x_local.dtype),
         mode="promise_in_bounds",
         indices_are_sorted=True,
     )
@@ -86,12 +104,11 @@ class ShardedSparseOperator:
 
         nnz_per_row = np.bincount(np.asarray(rows, dtype=np.int64), minlength=n)
         self.part: RowPartition = snake_partition(nnz_per_row, ndev)
-        lr, lc, lv = build_local_blocks(rows, cols, vals, self.part)
+        owned, remote = build_local_blocks_split(rows, cols, vals, self.part)
 
         blk_sharding = NamedSharding(mesh, P(axis, None))
-        self.local_rows = jax.device_put(lr, blk_sharding)
-        self.local_cols = jax.device_put(lc, blk_sharding)
-        self.local_vals = jax.device_put(lv, blk_sharding)
+        self.local_blocks = tuple(
+            jax.device_put(a, blk_sharding) for a in owned + remote)
         self.vec_sharding = NamedSharding(mesh, P(axis))
         self._solve_cache = {}
 
@@ -143,9 +160,9 @@ class ShardedSparseOperator:
     def _build_solve(self, k: int, f, method: str):
         axis, rows_per = self.axis, self.part.rows_per
 
-        def run(lr, lc, lv, b_local):
-            lr, lc, lv = lr[0], lc[0], lv[0]  # strip the sharded leading dim
-            matvec = lambda x: _local_matvec(lr, lc, lv, x, axis, rows_per)
+        def run(blocks, b_local):
+            blocks = tuple(a[0] for a in blocks)  # strip sharded leading dim
+            matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
             reduce_sum = lambda s: lax.psum(s, axis)
             emit = method == "one_pass"
             decomp, basis = pass_one_scan(
@@ -165,7 +182,7 @@ class ShardedSparseOperator:
         shmapped = jax.shard_map(
             run,
             mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+            in_specs=(tuple([P(axis, None)] * 6), P(axis)),
             out_specs=(P(axis), P(), P(), P(), P()),
             check_vma=False,
         )
@@ -185,7 +202,7 @@ class ShardedSparseOperator:
         """
         b_local = self._prepare_b(b)
         x_perm, alphas, betas, steps, b_norm = self._solver(k, f, method)(
-            self.local_rows, self.local_cols, self.local_vals, b_local
+            self.local_blocks, b_local
         )
         # b_norm is the device-side psum norm that actually scaled x — the
         # returned decomposition replays bit-consistently with the result
@@ -201,20 +218,18 @@ class ShardedSparseOperator:
 
         if "matvec" not in self._solve_cache:  # compile once, reuse per call
 
-            def run(lr, lc, lv, x_local):
-                return _local_matvec(lr[0], lc[0], lv[0], x_local, axis, rows_per)
+            def run(blocks, x_local):
+                blocks = tuple(a[0] for a in blocks)
+                return _local_matvec(blocks, x_local, axis, rows_per)
 
             self._solve_cache["matvec"] = jax.jit(
                 jax.shard_map(
                     run,
                     mesh=self.mesh,
-                    in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                              P(axis)),
+                    in_specs=(tuple([P(axis, None)] * 6), P(axis)),
                     out_specs=P(axis),
                     check_vma=False,
                 )
             )
-        y = self._solve_cache["matvec"](
-            self.local_rows, self.local_cols, self.local_vals,
-            self._prepare_b(x))
+        y = self._solve_cache["matvec"](self.local_blocks, self._prepare_b(x))
         return self._restore_x(y)
