@@ -103,72 +103,351 @@ struct NetParams {
   int64_t mincap = 1, maxcap = 100;
 };
 
+// ---------------------------------------------------------------------------
+// Klingman NETGEN generator (re-implementation).
+//
+// Faithful to the behavior of the classic generator as described in
+// Klingman, Napier & Stutz (Management Science 20(5), 1974) and realized by
+// the reference's C version (`data/netgen/src/netgen.c:154-440` — studied as
+// the specification; this is an independent implementation with its own
+// index structure and PRNG discipline):
+//
+//   * sources 1..S get the total supply split randomly (create_supply);
+//   * 60% of the transshipment nodes are dealt round-robin into per-source
+//     skeleton chains, the remaining 40% are appended to random sources;
+//   * each chain is hooked to ~2·len·SINKS/T random sinks, the source's
+//     supply routed down the chain to them in random partial amounts;
+//   * skeleton arcs get max cost with probability HICOST% and capacity
+//     max(B[source], MINCAP) with probability CAPACITATED%;
+//   * every chain node then sprays "rubbish" arcs at random non-source
+//     nodes (pick_head), with the per-node count tuned so the total arc
+//     count hits DENSITY exactly; rubbish arcs get uniform costs and, with
+//     probability CAPACITATED%, uniform capacities;
+//   * transshipment sinks (TSINKS) also spray rubbish arcs.
+//
+// Quirks deliberately preserved (they shape the distributions the reference
+// ships): random1(a,b) truncates a+(b-a)·U[0,1) so b itself is never drawn
+// (netgen's drand48 form, random.c:44-52); remove_index decrements the
+// pseudo_size even for absent members and pick_head draws positions over
+// pseudo_size, so an exhausted head list yields head index 0 — an invalid
+// DIMACS arc the reference's own tooling detects-and-retries downstream
+// (reference README.md:166-174, scalability.rs:286-299).
+// ---------------------------------------------------------------------------
+
+// Order-statistics index list: ascending integers [from, to]; choose(k)
+// removes and returns the k'th smallest remaining (0 when out of range);
+// remove(v) deletes v if present and unconditionally shrinks pseudo-size.
+// Fenwick-tree select: O(log n) per op at any size (the reference uses a
+// flag array under 100 elements and an interval tree above).
+struct IndexList {
+  int64_t from_, n_, isize_, psize_;
+  std::vector<int64_t> bit_;
+  std::vector<uint8_t> present_;
+
+  IndexList(int64_t from, int64_t to)
+      : from_(from), n_(to >= from ? to - from + 1 : 0), isize_(n_),
+        psize_(n_), bit_(n_ + 1, 0), present_(n_, 1) {
+    for (int64_t i = 1; i <= n_; ++i) {
+      bit_[i] += 1;
+      int64_t j = i + (i & -i);
+      if (j <= n_) bit_[j] += bit_[i];
+    }
+  }
+  int64_t size() const { return isize_; }
+  int64_t pseudo() const { return psize_; }
+
+  void unlink_(int64_t off) {
+    present_[off] = 0;
+    --isize_;
+    for (int64_t i = off + 1; i <= n_; i += i & (-i)) bit_[i] -= 1;
+  }
+
+  int64_t choose(int64_t k) {
+    if (k < 1 || k > isize_) return 0;
+    --psize_;
+    int64_t pos = 0, rem = k, pw = 1;
+    while ((pw << 1) <= n_) pw <<= 1;
+    for (; pw > 0; pw >>= 1) {
+      if (pos + pw <= n_ && bit_[pos + pw] < rem) {
+        pos += pw;
+        rem -= bit_[pos];
+      }
+    }
+    // after the descent, pos counts the present elements strictly before
+    // the k'th, so offset pos is exactly the k'th present slot
+    const int64_t off = pos;
+    unlink_(off);
+    return from_ + off;
+  }
+
+  void remove(int64_t v) {
+    --psize_;
+    if (v < from_ || v >= from_ + n_) return;
+    int64_t off = v - from_;
+    if (!present_[off]) return;
+    unlink_(off);
+  }
+};
+
+// netgen's random1 after the drand48 fix: a + (b-a)·U[0,1) truncated toward
+// zero — b is never produced, and an inverted range (b < a) yields values
+// at/below a (random.c:44-52). Distributions downstream depend on this.
+struct NetRng {
+  Rng* r;
+  int64_t operator()(int64_t a, int64_t b) {
+    double v = static_cast<double>(a) +
+               static_cast<double>(b - a) * r->uniform(0.0, 1.0);
+    return static_cast<int64_t>(v);  // trunc toward zero, like the C cast
+  }
+};
+
+struct Network {
+  std::vector<int64_t> from, to, cost, cap;  // 1-based node ids
+  std::vector<int64_t> B;                    // supply per node (0-based)
+};
+
+struct KlingmanState {
+  const NetParams& p;
+  NetRng rnd;
+  Network* net;
+  int64_t nodes_left;
+
+  void save_arc(int64_t t, int64_t h, int64_t c, int64_t u) {
+    net->from.push_back(t);
+    net->to.push_back(h);
+    net->cost.push_back(c);
+    net->cap.push_back(u);
+  }
+
+  // pick_head (netgen.c:407-438): spray rubbish arcs from desired_tail at
+  // random members of `handle`, count tuned so the total approaches DENSITY.
+  void pick_head(IndexList& handle, int64_t desired_tail) {
+    const int64_t non_sources = p.nodes - p.sources + p.tsources;
+    const int64_t remaining = p.arcs - static_cast<int64_t>(net->from.size());
+    --nodes_left;
+    if (2 * nodes_left >= remaining) return;
+
+    int64_t limit;
+    if ((remaining + non_sources - handle.pseudo() - 1) / (nodes_left + 1) >=
+        non_sources - 1) {
+      limit = non_sources;
+    } else {
+      const int64_t upper = 2 * (remaining / (nodes_left + 1) - 1);
+      do {
+        limit = rnd(1, upper);
+        if (nodes_left == 0) limit = remaining;
+      } while (nodes_left * (non_sources - 1) < remaining - limit);
+    }
+
+    for (; limit > 0; --limit) {
+      const int64_t index = handle.choose(rnd(1, handle.pseudo()));
+      int64_t cap = p.supply;
+      if (rnd(1, 100) <= p.capacitated) cap = rnd(p.mincap, p.maxcap);
+      save_arc(desired_tail, index, rnd(p.mincost, p.maxcost), cap);
+    }
+  }
+};
+
+// Generate the network. Returns 0 on success, nonzero on parameter error.
+int klingman_generate(const NetParams& p, Rng& rng, Network* net) {
+  const int64_t N = p.nodes, S = p.sources, SK = p.sinks, T = N - S - SK;
+  if (N < 2 || S <= 0 || SK <= 0 || S + SK > N || p.arcs < N ||
+      p.mincost > p.maxcost || p.supply < S || p.tsources > S ||
+      p.tsinks > SK || p.mincap > p.maxcap) {
+    fprintf(stderr, "mcfgen netgen: inconsistent parameter settings\n");
+    return 1;
+  }
+  NetRng rnd{&rng};
+  net->B.assign(N, 0);
+  net->from.clear(); net->to.clear(); net->cost.clear(); net->cap.clear();
+  net->from.reserve(p.arcs); net->to.reserve(p.arcs);
+  net->cost.reserve(p.arcs); net->cap.reserve(p.arcs);
+  KlingmanState st{p, rnd, net, N - SK + p.tsinks};
+
+  // assignment problems take a different construction entirely
+  const bool assignment =
+      (S - p.tsources) + (SK - p.tsinks) == N &&
+      (S - p.tsources) == (SK - p.tsinks) && S == p.supply;
+  if (assignment) {
+    for (int64_t i = 0; i < N / 2; ++i) net->B[i] = 1;
+    for (int64_t i = N / 2; i < N; ++i) net->B[i] = -1;
+    IndexList skeleton(S + 1, N);
+    for (int64_t source = 1; source <= N / 2; ++source) {
+      const int64_t index = skeleton.choose(rnd(1, skeleton.size()));
+      st.save_arc(source, index, rnd(p.mincost, p.maxcost), 1);
+      IndexList handle(S + 1, N);
+      handle.remove(index);
+      st.pick_head(handle, source);
+    }
+    return 0;
+  }
+
+  // create_supply (netgen.c:339-351): random split of SUPPLY over sources
+  {
+    const int64_t per = p.supply / S;
+    for (int64_t i = 0; i < S; ++i) {
+      const int64_t partial = rnd(1, per);
+      net->B[i] += partial;
+      net->B[rnd(0, S - 1)] += per - partial;
+    }
+    net->B[rnd(0, S - 1)] += p.supply % S;
+  }
+
+  // skeleton chains: 60% of transshipment nodes dealt round-robin, the
+  // rest appended to random sources (netgen.c:225-247)
+  std::vector<int64_t> pred(N + 1, 0);
+  for (int64_t i = 1; i <= S; ++i) pred[i] = i;
+  {
+    IndexList handle(S + 1, N - SK);
+    int64_t source = 1;
+    int64_t i = T;
+    for (; i > (4 * T + 9) / 10; --i) {
+      const int64_t node = handle.choose(rnd(1, handle.size()));
+      pred[node] = pred[source];
+      pred[source] = node;
+      if (++source > S) source = 1;
+    }
+    for (; i > 0; --i) {
+      const int64_t node = handle.choose(rnd(1, handle.size()));
+      const int64_t src = rnd(1, S);
+      pred[node] = pred[src];
+      pred[src] = node;
+    }
+  }
+
+  // per-source: walk the chain, hook sinks, emit skeleton + rubbish arcs
+  std::vector<int64_t> tail, head;
+  for (int64_t source = 1; source <= S; ++source) {
+    tail.assign(1, 0);  // 1-based like the reference arrays
+    head.assign(1, 0);
+    int64_t node = pred[source];
+    while (node != source) {
+      head.push_back(node);
+      node = pred[node];
+      tail.push_back(node);
+    }
+    const int64_t sort_count0 = static_cast<int64_t>(tail.size()) - 1;
+
+    int64_t sinks_per_source =
+        (T == 0) ? SK / S + 1 : 2 * sort_count0 * SK / T;
+    sinks_per_source =
+        std::max<int64_t>(2, std::min<int64_t>(sinks_per_source, SK));
+    std::vector<int64_t> sinks;  // 0-based B indices (node id - 1)
+    {
+      IndexList handle(N - SK, N - 1);
+      for (int64_t i = 0; i < sinks_per_source; ++i)
+        sinks.push_back(handle.choose(rnd(1, handle.size())));
+      if (source == S) {  // last source adopts unused zero-supply sinks
+        while (handle.size() > 0) {
+          const int64_t j = handle.choose(1);
+          if (net->B[j] == 0) {
+            sinks.push_back(j);
+            ++sinks_per_source;
+          }
+        }
+      }
+    }
+
+    const int64_t chain_length = sort_count0;
+    const int64_t supply_per_sink = net->B[source - 1] / sinks_per_source;
+    int64_t k = pred[source];
+    for (int64_t i = 0; i < sinks_per_source; ++i) {
+      const int64_t partial = rnd(1, supply_per_sink);
+      const int64_t j = rnd(0, sinks_per_source - 1);
+      tail.push_back(k);
+      head.push_back(sinks[i] + 1);
+      net->B[sinks[i]] -= partial;
+      net->B[sinks[j]] -= supply_per_sink - partial;
+      k = source;
+      for (int64_t w = rnd(1, chain_length); w > 0; --w) k = pred[k];
+    }
+    net->B[sinks[0]] -= net->B[source - 1] % sinks_per_source;
+
+    const int64_t sort_count = static_cast<int64_t>(tail.size()) - 1;
+    // sort skeleton arcs by tail (the reference shell-sorts; order within a
+    // tie only permutes identically-distributed draws)
+    {
+      std::vector<int64_t> idx(sort_count);
+      for (int64_t i = 0; i < sort_count; ++i) idx[i] = i + 1;
+      std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+        return tail[a] < tail[b];
+      });
+      std::vector<int64_t> t2(tail), h2(head);
+      for (int64_t i = 0; i < sort_count; ++i) {
+        tail[i + 1] = t2[idx[i]];
+        head[i + 1] = h2[idx[i]];
+      }
+    }
+    tail.push_back(0);  // terminator
+
+    for (int64_t i = 1; i <= sort_count;) {
+      IndexList handle(S - p.tsources + 1, N);
+      handle.remove(tail[i]);
+      const int64_t it = tail[i];
+      while (it == tail[i]) {
+        handle.remove(head[i]);
+        int64_t cap = p.supply;
+        if (rnd(1, 100) <= p.capacitated)
+          cap = std::max(net->B[source - 1], p.mincap);
+        int64_t cost = p.maxcost;
+        if (rnd(1, 100) > p.hicost) cost = rnd(p.mincost, p.maxcost);
+        st.save_arc(it, head[i], cost, cap);
+        ++i;
+      }
+      st.pick_head(handle, it);
+    }
+  }
+
+  // rubbish arcs out of the transshipment sinks (netgen.c:330-336)
+  for (int64_t i = N - SK + 1; i <= N - SK + p.tsinks; ++i) {
+    IndexList handle(S - p.tsources + 1, N);
+    handle.remove(i);
+    st.pick_head(handle, i);
+  }
+  return 0;
+}
+
 // Write a DIMACS network for the given NETGEN parameters to `out`.
+// Returns 0 on success, 1 on parameter error, 2 when the generated network
+// contains an invalid (index-0) head — the preserved NETGEN pseudo-size
+// quirk; callers with freedom over the seed should retry (the reference's
+// own pipeline validates-and-retries the same way, scalability.rs:223-299).
 int write_dimacs(FILE* out, const NetParams& p, Rng& rng,
                  std::vector<int32_t>* out_u, std::vector<int32_t>* out_v,
                  std::vector<int64_t>* out_bcost) {
-  const int64_t n = p.nodes, m = p.arcs;
-  if (n < 2 || m < n - 1) {
-    fprintf(stderr, "mcfgen: need nodes >= 2 and arcs >= nodes-1\n");
-    return 1;
-  }
-  std::vector<int64_t> perm(n);
-  for (int64_t i = 0; i < n; ++i) perm[i] = i;
-  for (int64_t i = n - 1; i > 0; --i) {
-    int64_t j = rng.uniform_int(0, i);
-    std::swap(perm[i], perm[j]);
-  }
+  Network net;
+  if (klingman_generate(p, rng, &net)) return 1;
+  const int64_t n = p.nodes;
+  const int64_t m = static_cast<int64_t>(net.from.size());
+
+  int rc = 0;
+  for (int64_t j = 0; j < m; ++j)
+    if (net.to[j] < 1 || net.from[j] < 1) rc = 2;
+
   std::vector<int32_t>& au = *out_u;
   std::vector<int32_t>& av = *out_v;
   std::vector<int64_t>& bc = *out_bcost;
   au.resize(m);
   av.resize(m);
   bc.resize(m);
-  for (int64_t i = 0; i + 1 < n; ++i) {
-    au[i] = static_cast<int32_t>(perm[i]);
-    av[i] = static_cast<int32_t>(perm[i + 1]);
-  }
-  for (int64_t i = n - 1; i < m; ++i) {
-    int64_t uu = rng.uniform_int(0, n - 1);
-    int64_t vv = (uu + 1 + rng.uniform_int(0, n - 2)) % n;
-    au[i] = static_cast<int32_t>(uu);
-    av[i] = static_cast<int32_t>(vv);
-  }
 
   fprintf(out, "c generated by mcfgen (two_pass_lanczos_tpu native toolchain)\n");
   fprintf(out, "p min %" PRId64 " %" PRId64 "\n", n, m);
-  // supply nodes then demand nodes, balanced by construction
-  // clamp to n/2 BEFORE the loop so the remainder branch (s == nsrc-1)
-  // always fires: capping only inside the loop condition would silently
-  // emit an unbalanced (supply != demand) instance for presets asking for
-  // more sources/sinks than n/2
-  const int64_t nsrc = std::min(p.sources > 0 ? p.sources : 1, n / 2 > 0 ? n / 2 : 1);
-  const int64_t nsnk = std::min(p.sinks > 0 ? p.sinks : 1, n / 2 > 0 ? n / 2 : 1);
-  int64_t left = p.supply;
-  for (int64_t s = 0; s < nsrc; ++s) {
-    int64_t amt = (s == nsrc - 1) ? left : p.supply / nsrc;
-    left -= amt;
-    fprintf(out, "n %" PRId64 " %" PRId64 "\n", perm[s] + 1, amt);
-  }
-  left = p.supply;
-  for (int64_t s = 0; s < nsnk; ++s) {
-    int64_t amt = (s == nsnk - 1) ? left : p.supply / nsnk;
-    left -= amt;
-    fprintf(out, "n %" PRId64 " -%" PRId64 "\n", perm[n - 1 - s] + 1, amt);
+  for (int64_t i = 0; i < n; ++i) {
+    if (net.B[i] != 0)
+      fprintf(out, "n %" PRId64 " %" PRId64 "\n", i + 1, net.B[i]);
   }
 
   std::string buf;
   buf.reserve(1 << 22);
   char line[96];
-  const int64_t cap_lo = p.mincap > 0 ? p.mincap : 1;
-  // honor fixed-capacity presets exactly (mincap == maxcap is legal)
-  const int64_t cap_hi = p.maxcap >= cap_lo ? p.maxcap : cap_lo;
   for (int64_t j = 0; j < m; ++j) {
-    int64_t b_cost = rng.uniform_int(p.mincost, p.maxcost);
-    int64_t cap = rng.uniform_int(cap_lo, cap_hi);
-    bc[j] = b_cost;
-    int len = snprintf(line, sizeof(line), "a %d %d 0 %" PRId64 " %" PRId64 "\n",
-                       au[j] + 1, av[j] + 1, cap, b_cost);
+    au[j] = static_cast<int32_t>(net.from[j] - 1);
+    av[j] = static_cast<int32_t>(net.to[j] - 1);
+    bc[j] = net.cost[j];
+    int len = snprintf(line, sizeof(line),
+                       "a %" PRId64 " %" PRId64 " 0 %" PRId64 " %" PRId64 "\n",
+                       net.from[j], net.to[j], net.cap[j], net.cost[j]);
     buf.append(line, static_cast<size_t>(len));
     if (buf.size() > (1 << 22) - 128) {
       fwrite(buf.data(), 1, buf.size(), out);
@@ -176,7 +455,7 @@ int write_dimacs(FILE* out, const NetParams& p, Rng& rng,
     }
   }
   fwrite(buf.data(), 1, buf.size(), out);
-  return 0;
+  return rc;
 }
 
 void write_qfc(FILE* qfc, const std::vector<int64_t>& bcost, char cf, char cq,
@@ -317,7 +596,10 @@ int mode_netgen() {
   Rng rng(p.seed ? p.seed : 1);
   std::vector<int32_t> au, av;
   std::vector<int64_t> bc;
-  return write_dimacs(stdout, p, rng, &au, &av, &bc);
+  // rc==2 (invalid index-0 head, the preserved NETGEN quirk) still writes
+  // the network — the raw pipeline has no retry, exactly like the
+  // reference's netgen binary; downstream validation handles it.
+  return write_dimacs(stdout, p, rng, &au, &av, &bc) == 1 ? 1 : 0;
 }
 
 int mode_qfcgen(int argc, char** argv) {
@@ -392,7 +674,6 @@ int mode_combined(int argc, char** argv) {
   // stage-equivalence: the combined path must emit byte-identical files to
   // `pargen | netgen | qfcgen`, so reseed exactly as those modes do
   p.seed = p.seed % 2000000000ULL;
-  Rng rng_net(p.seed ? p.seed : 1);
   Rng rng_qfc(seed_of(m, rho, iid) ^ 0x9fc);
 
   char base[256];
@@ -410,7 +691,26 @@ int mode_combined(int argc, char** argv) {
   }
   std::vector<int32_t> au, av;
   std::vector<int64_t> bc;
-  if (write_dimacs(dmx, p, rng_net, &au, &av, &bc)) return 1;
+  // the preserved NETGEN pseudo-size quirk occasionally yields an invalid
+  // (index-0) head; rotate the seed and retry, as the reference's own
+  // datagen orchestration does (scalability.rs:223-282)
+  int rc = 1;
+  for (int attempt = 0; attempt < 5; ++attempt) {
+    if (attempt > 0) {
+      fclose(dmx);
+      dmx = fopen(dmx_path.c_str(), "w");
+      if (!dmx) return 1;
+      fprintf(stderr, "mcfgen: invalid arc in attempt %d, rotating seed\n",
+              attempt);
+    }
+    Rng rng_try((p.seed ? p.seed : 1) + static_cast<uint64_t>(attempt));
+    rc = write_dimacs(dmx, p, rng_try, &au, &av, &bc);
+    if (rc != 2) break;
+  }
+  if (rc) {
+    fprintf(stderr, "mcfgen: could not generate a valid instance\n");
+    return 1;
+  }
   fclose(dmx);
   write_qfc(qfc, bc, cf, cq, rng_qfc);
   fclose(qfc);

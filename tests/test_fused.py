@@ -175,10 +175,13 @@ def test_vmem_guard_is_layout_derived(rng):
 
     d, u, v, p = _random_kkt(rng, m=700, p=90)
     lay = SortedKKTLayout.build(d, u, v, p)
-    # independent accounting: 14 (R,128) planes (3 arc planes x 2 orderings,
-    # 2 b inputs, 6 work buffers), 2 group tables, 4 node planes
-    expect = (14 * lay.u.R * LANE * 4 + 2 * lay.u.C * CHUNK * 2 * 4
-              + 4 * lay.P2 * LANE * 4)
+    # independent accounting: per ordering d f32 + eo (int16 here since
+    # p <= 32640), 2 b inputs + 6 work buffers in f32, 2 four-channel group
+    # tables, 4 node planes
+    assert lay.u.eo2.dtype == np.int16
+    slots = lay.u.R * LANE
+    expect = (2 * slots * (4 + 2) + (2 + 6) * slots * 4
+              + 2 * lay.u.C * CHUNK * 4 * 4 + 4 * lay.P2 * LANE * 4)
     assert FusedKKTSolver.pass_vmem_bytes(lay) == expect
 
     # every node gets >= 1 group, so p >> m forces huge slot padding: the

@@ -167,10 +167,11 @@ def kkt_streaming_sol(layout, achieved_seconds: float,
     ``ShardedFusedKKTSolver``).
 
     Exact HBM traffic per matvec, from the kernel's BlockSpecs: per ordering
-    the grid streams five (R, 128) f32/i32 planes (d, es, eo, x read, y
-    write) plus the (C, 128, 2) i32 group table; the node table (P2, 128) is
-    read once and the node output written once (constant index maps — Pallas
-    keeps the block resident across the sequential grid). R counts *padded*
+    the grid streams the d (f32), es and eo (int16 when every endpoint
+    fits — the round-3 compressed layout), x read and y write planes, plus
+    the (C, 128, 4) i32 group table; the node table (P2, 128) is read once
+    and the node output written once (constant index maps — Pallas keeps
+    the block resident across the sequential grid). R counts *padded*
     slots: the per-node 128-lane run padding is part of the layout's real
     traffic, not overhead we get to ignore.
 
@@ -179,8 +180,10 @@ def kkt_streaming_sol(layout, achieved_seconds: float,
     lane = 128
     bytes_total = 0
     for o in (layout.u, layout.v):
-        bytes_total += 5 * o.R * lane * 4  # d2, es2, eo2, x, y
-        bytes_total += o.C * lane * 2 * 4  # gn3
+        bytes_total += 3 * o.R * lane * 4  # d2, x, y
+        bytes_total += o.R * lane * o.es2.dtype.itemsize  # es2 (i16/i32)
+        bytes_total += o.R * lane * o.eo2.dtype.itemsize  # eo2 (i16/i32)
+        bytes_total += o.C * lane * 4 * 4  # gn3 (4 channels)
         bytes_total += o.C * 4  # win (SMEM)
     bytes_total += 2 * layout.P2 * lane * 4  # xn read + yn write
     bw = HBM_BW.get(backend, 819e9)

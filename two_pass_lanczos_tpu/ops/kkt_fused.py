@@ -104,15 +104,28 @@ def reclamp_window(ordering: "_Ordering", wg: int, p_hi: int) -> "_Ordering":
 class _Ordering:
     """One sorted arc ordering (host-side build product).
 
-    ``gn3[..., 0]`` is the group's relative node id for the scatter window
-    (512 = inert); ``gn3[..., 1]`` is the group's other-endpoint gather
-    window base row (valid when ``wg`` is set).
+    ``gn3`` carries four per-group channels: ``[..., 0]`` the group's
+    relative node id for the scatter window (512 = inert); ``[..., 1]`` the
+    group's other-endpoint gather window base row (valid when ``wg`` is
+    set); ``[..., 2]``/``[..., 3]`` the group's *self*-endpoint node-table
+    (row, lane) — the self endpoint is constant across a group by
+    construction, so the VMEM-RESIDENT kernels build its gather as a
+    per-group row-broadcast and drop the ``es`` plane from VMEM entirely
+    (time-neutral on-chip, +30% resident arc capacity). The HBM-STREAMING
+    kernel keeps the per-slot ``es`` gather instead: the broadcast + pad
+    mask measured 8–9% slower there (VPU-gather-bound — PERF.md "Round-3
+    layout compression"). The df kernels also use the per-slot planes.
+
+    ``es2``/``eo2`` are stored int16 whenever every endpoint (and the
+    sentinel ``p_hi·128``) fits — true for all instances with ≤ 32,640
+    nodes — halving the index planes at zero measured widen cost; kernels
+    widen to int32 at the read.
     """
 
     d2: np.ndarray  # (R, 128) f32 — quadratic costs, 0 at pad slots
-    es2: np.ndarray  # (R, 128) i32 — sorted ("self") endpoint per slot
-    eo2: np.ndarray  # (R, 128) i32 — other endpoint per slot
-    gn3: np.ndarray  # (C, 128, 2) i32 — [rel node id | gather window base]
+    es2: np.ndarray  # (R, 128) i16/i32 — sorted ("self") endpoint per slot
+    eo2: np.ndarray  # (R, 128) i16/i32 — other endpoint per slot
+    gn3: np.ndarray  # (C, 128, 4) i32 — [rel id | eo base | es row | es lane]
     win: np.ndarray  # (C,) i32 — node-table row base of the chunk's window
     pos: np.ndarray  # (m,) i64 — original arc index -> flat slot
     R: int
@@ -193,15 +206,29 @@ def _build_ordering(d, key, other, p, dtype, windowed: bool) -> _Ordering:
             wg = 0
         else:
             base = _clamped_window_base(smin, empty, wg, p_hi)
+    # per-group self-endpoint (row, lane) in the node table; inert groups
+    # point at the zero pad row (their output is masked anyway, but the
+    # read must stay in-bounds).
+    g_es = np.where(gnode >= 0, gnode, p_hi * LANE)
     gn3 = np.stack([gnrel.reshape(c_chunks, CHUNK),
-                    base.reshape(c_chunks, CHUNK)], axis=-1).astype(np.int32)
+                    base.reshape(c_chunks, CHUNK),
+                    (g_es >> 7).reshape(c_chunks, CHUNK),
+                    (g_es & (LANE - 1)).reshape(c_chunks, CHUNK)],
+                   axis=-1).astype(np.int32)
+
+    # endpoint planes: int16 when every value incl. the sentinel fits
+    es_plane = es.reshape(r_rows, LANE)
+    eo_plane = eo.reshape(r_rows, LANE)
+    if p_hi * LANE <= np.iinfo(np.int16).max:
+        es_plane = es_plane.astype(np.int16)
+        eo_plane = eo_plane.astype(np.int16)
 
     pos = np.empty(m, np.int64)
     pos[order] = slot
     return _Ordering(
         d2=dflat.reshape(r_rows, LANE),
-        es2=es.reshape(r_rows, LANE),
-        eo2=eo.reshape(r_rows, LANE),
+        es2=es_plane,
+        eo2=eo_plane,
         gn3=gn3,
         win=win,
         pos=pos,
@@ -245,8 +272,8 @@ class SortedKKTLayout:
         ov = _build_ordering(quad_costs, arc_v, arc_u, p, dtype, windowed)
         # equalize R (and C) so the kernel's chunk loop is uniform
         r = max(ou.R, ov.R)
-        ou, ov = (_pad_ordering(o, r) for o in (ou, ov))
         p_hi = _round_up(p, LANE) // LANE
+        ou, ov = (_pad_ordering(o, r, p_hi) for o in (ou, ov))
         return cls(u=ou, v=ov, m=len(quad_costs), p=p, p_hi=p_hi,
                    P2=p_hi + 1, dtype=dtype)
 
@@ -271,21 +298,28 @@ class SortedKKTLayout:
         return np.concatenate([xu[self.u.pos], xn[: self.p]])
 
 
-def _pad_ordering(o: _Ordering, r: int) -> _Ordering:
+def _pad_ordering(o: _Ordering, r: int, p_hi: int) -> _Ordering:
+    """Pad an ordering to ``r`` rows with inert tail chunks. Pad slots carry
+    the SENTINEL other-endpoint (``p_hi·128`` — masks the gather terms out
+    of y) and the zero-pad-row self endpoint, so their matvec output is
+    exactly 0 and they stay 0 through every iteration."""
     if o.R == r:
         return o
     c = r // CHUNK
     extra_r, extra_c = r - o.R, c - o.C
+    sentinel = p_hi * LANE
 
-    def padr(a):
-        return np.concatenate([a, np.zeros((extra_r,) + a.shape[1:], a.dtype)])
+    def padr(a, fill=0):
+        return np.concatenate(
+            [a, np.full((extra_r,) + a.shape[1:], fill, a.dtype)])
 
+    gn_pad = np.stack([np.full((extra_c, CHUNK), 512, np.int32),
+                       np.zeros((extra_c, CHUNK), np.int32),
+                       np.full((extra_c, CHUNK), p_hi, np.int32),
+                       np.zeros((extra_c, CHUNK), np.int32)], axis=-1)
     return _Ordering(
-        d2=padr(o.d2), es2=padr(o.es2), eo2=padr(o.eo2),
-        gn3=np.concatenate(
-            [o.gn3, np.stack([np.full((extra_c, CHUNK), 512, np.int32),
-                              np.zeros((extra_c, CHUNK), np.int32)],
-                             axis=-1)]),
+        d2=padr(o.d2), es2=padr(o.es2, sentinel), eo2=padr(o.eo2, sentinel),
+        gn3=np.concatenate([o.gn3, gn_pad]),
         win=np.concatenate([o.win, np.zeros(extra_c, np.int32)]),
         pos=o.pos, R=r, C=c, wg=o.wg,
     )
@@ -342,28 +376,51 @@ def _rowwise_window_gather(xn_ref, e, rb_col, wg):
     return g
 
 
+def _group_self_tile(xn_ref, gnrb, r0):
+    """(CHUNK, LANE) tile whose row g is the constant ``x_n[self node of
+    group g]``: the self endpoint is shared by every slot of a group, so
+    instead of a per-slot gather over a streamed ``es`` plane this is a
+    two-candidate-row select (the chunk's static 2-row window invariant)
+    plus ONE lane gather of the per-group lane ids. Inert groups point at
+    the zero pad row and read exactly 0."""
+    es_row = gnrb[:, 2:3]  # (128, 1) — node-table row of each group's node
+    es_lane = jnp.broadcast_to(gnrb[:, 3:4], (CHUNK, LANE))
+    row0 = jnp.broadcast_to(xn_ref[pl.ds(r0, 1), :], (CHUNK, LANE))
+    row1 = jnp.broadcast_to(xn_ref[pl.ds(r0 + 1, 1), :], (CHUNK, LANE))
+    # inert groups (es_row = p_hi, outside the 2-row window) read row0
+    # garbage here — their y is zeroed by the eo-sentinel mask in the
+    # caller, so a 2-way select suffices (cheaper than 2 masked adds).
+    t = jnp.where(es_row == r0 + 1, row1, row0)
+    return jnp.take_along_axis(t, es_lane, axis=1)
+
+
 def _emit_matvec(orders, xn_ref, wn_ref, *, p_hi, c_chunks):
     """w = A·x in the rep layout. ``orders`` is a pair of per-ordering tuples
-    ``(x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg)``."""
+    ``(x_ref, w_ref, d_ref, eo_ref, gn_ref, win_ref, sign, wg)``.
+
+    Pad/inert slots carry the SENTINEL other endpoint ``p_hi·128``: the
+    ``valid`` mask zeroes both gather terms for them, so (with d = 0 and
+    x = 0 there) their output is exactly 0 every iteration."""
     wn_ref[:] = jnp.zeros(wn_ref.shape, jnp.float32)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
-    for x_ref, w_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg in orders:
+    sentinel = p_hi * LANE
+    for x_ref, w_ref, d_ref, eo_ref, gn_ref, win_ref, sign, wg in orders:
 
-        def body(c, _, x_ref=x_ref, w_ref=w_ref, d_ref=d_ref, es_ref=es_ref,
+        def body(c, _, x_ref=x_ref, w_ref=w_ref, d_ref=d_ref,
                  eo_ref=eo_ref, gn_ref=gn_ref, win_ref=win_ref, sign=sign,
                  wg=wg):
             sl = pl.ds(c * CHUNK, CHUNK)
             x2 = x_ref[sl, :]
-            es = es_ref[sl, :]
-            eo = eo_ref[sl, :]
+            eo = eo_ref[sl, :].astype(jnp.int32)
             r0 = win_ref[c]
-            gnrb = gn_ref[c]  # (128, 2): [rel node id | gather window base]
-            g_s = _window_gather(xn_ref, es, r0, 2)
+            gnrb = gn_ref[c]  # (128, 4): [rel id|eo base|es row|es lane]
+            g_s = _group_self_tile(xn_ref, gnrb, r0)
             if wg:
                 g_o = _rowwise_window_gather(xn_ref, eo, gnrb[:, 1:2], wg)
             else:
                 g_o = _window_gather(xn_ref, eo, 0, p_hi)
-            y2 = d_ref[sl, :] * x2 + sign * (g_s - g_o)
+            valid = eo < sentinel
+            y2 = d_ref[sl, :] * x2 + sign * jnp.where(valid, g_s - g_o, 0.0)
             if w_ref is not None:
                 w_ref[sl, :] = y2
             # segmented-sum scatter: 128-lane row sums, then a compare/select
@@ -523,7 +580,7 @@ def _dot_rep_comp(au, an, bu, bn):
 
 def _pass_one_kernel(
     # inputs
-    du, esu, eou, gnu, dv, esv, eov, gnv, bu, bv, bn, winu, winv,
+    du, eou, gnu, dv, eov, gnv, bu, bv, bn, winu, winv,
     # outputs
     alphas, betas, bnorm, steps_out,
     # scratch
@@ -544,8 +601,8 @@ def _pass_one_kernel(
     vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
+        (vcu, wu, du, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, carry):
@@ -588,7 +645,7 @@ def _pass_one_kernel(
 # ---------------------------------------------------------------------------
 
 def _pass_one_basis_kernel(
-    du, esu, eou, gnu, dv, esv, eov, gnv, bu, bv, bn, winu, winv,
+    du, eou, gnu, dv, eov, gnv, bu, bv, bn, winu, winv,
     # outputs
     alphas, betas, bnorm, steps_out, basis_u, basis_n,
     # scratch
@@ -625,8 +682,8 @@ def _pass_one_basis_kernel(
     vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
+        (vcu, wu, du, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, carry):
@@ -677,7 +734,7 @@ def _pass_one_basis_kernel(
 # ---------------------------------------------------------------------------
 
 def _pass_two_kernel(
-    du, esu, eou, gnu, dv, esv, eov, gnv, bu, bv, bn, winu, winv,
+    du, eou, gnu, dv, eov, gnv, bu, bv, bn, winu, winv,
     alphas, betas, y, bnorm, steps_in,
     # outputs
     xu, xn,
@@ -699,8 +756,8 @@ def _pass_two_kernel(
     xn[:] = y0 * vcn[:]
 
     orders = (
-        (vcu, wu, du, esu, eou, gnu, winu, 1.0, wg_u),
-        (vcv, wv, dv, esv, eov, gnv, winv, -1.0, wg_v),
+        (vcu, wu, du, eou, gnu, winu, 1.0, wg_u),
+        (vcv, wv, dv, eov, gnv, winv, -1.0, wg_v),
     )
 
     def step(j, _):
@@ -740,11 +797,11 @@ def _pass_two_kernel(
 # Matvec-only kernel (correctness oracle hooks / tests)
 # ---------------------------------------------------------------------------
 
-def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
+def _matvec_kernel(du, eou, gnu, dv, eov, gnv, xu, xv, xn,
                    winu, winv, yu, yv, yn, *, p_hi, c_chunks, wg_u, wg_v):
     orders = (
-        (xu, yu, du, esu, eou, gnu, winu, 1.0, wg_u),
-        (xv, yv, dv, esv, eov, gnv, winv, -1.0, wg_v),
+        (xu, yu, du, eou, gnu, winu, 1.0, wg_u),
+        (xv, yv, dv, eov, gnv, winv, -1.0, wg_v),
     )
     _emit_matvec(orders, xn, yn, p_hi=p_hi, c_chunks=c_chunks)
 
@@ -753,9 +810,9 @@ def _matvec_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
 # Streaming (grid-blocked) matvec: instances larger than VMEM
 # ---------------------------------------------------------------------------
 
-def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
-                             winu, winv, yu, yv, yn, acc, *, p_hi, wg_u, wg_v,
-                             e_scale=1.0):
+def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv,
+                             xn, winu, winv, yu, yv, yn, acc, *, p_hi, wg_u,
+                             wg_v, e_scale=1.0):
     """One grid step = one CHUNK of both orderings, blocks streamed from HBM.
 
     Same math as :func:`_emit_matvec`, but the arc data and vector chunks are
@@ -777,14 +834,18 @@ def _matvec_streaming_kernel(du, esu, eou, gnu, dv, esv, eov, gnv, xu, xv, xn,
     def _init():
         acc[:] = jnp.zeros(acc.shape, jnp.float32)
 
+    # per-slot es gather (NOT the resident kernels' group-broadcast form):
+    # this kernel is VPU-gather-bound, and the A/B measured the broadcast +
+    # pad-mask variant 8-9% slower here despite streaming 4 fewer bytes
+    # per slot; pad slots cancel via the es == eo == sentinel invariant.
     for x_ref, y_ref, d_ref, es_ref, eo_ref, gn_ref, win_ref, sign, wg in (
             (xu, yu, du, esu, eou, gnu, winu, e_scale, wg_u),
             (xv, yv, dv, esv, eov, gnv, winv, -e_scale, wg_v)):
         x2 = x_ref[:]
-        es = es_ref[:]
-        eo = eo_ref[:]
+        es = es_ref[:].astype(jnp.int32)
+        eo = eo_ref[:].astype(jnp.int32)
         r0 = win_ref[i]
-        gnrb = gn_ref[0]  # (128, 2): [rel node id | gather window base]
+        gnrb = gn_ref[0]  # (128, 4): [rel id | eo base | es row | es lane]
         g_s = _window_gather(xn, es, r0, 2)
         if wg:
             g_o = _rowwise_window_gather(xn, eo, gnrb[:, 1:2], wg)
@@ -809,13 +870,14 @@ def kkt_streaming_matvec(arrs, wins, xu, xv, xn, *, p_hi: int, c_chunks: int,
                          interpret: bool = False, e_scale: float = 1.0):
     """Grid-blocked A·x in the rep layout; any instance size.
 
-    ``arrs`` = (du2, esu2, eou2, gnu3, dv2, esv2, eov2, gnv3) device arrays,
-    ``wins`` = (winu, winv) int32 arrays. Returns (yu, yv, yn).
+    ``arrs`` = (du2, esu2, eou2, gnu3, dv2, esv2, eov2, gnv3) device arrays
+    (endpoint planes i16 or i32), ``wins`` = (winu, winv) int32 arrays.
+    Returns (yu, yv, yn).
     """
     r = xu.shape[0]
     blk = lambda: pl.BlockSpec((CHUNK, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-    gnb = lambda: pl.BlockSpec((1, CHUNK, 2), lambda i: (i, 0, 0),
+    gnb = lambda: pl.BlockSpec((1, CHUNK, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     full = pl.BlockSpec((p2, LANE), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
@@ -860,15 +922,15 @@ class FusedKKTSolver:
     #: probe-verified usable VMEM on the target chip (the scoped default is
     #: 16 MB; ~110 MB is reachable with an explicit CompilerParams limit).
     VMEM_BUDGET = 110 * 1024 * 1024
-    #: (R,128)-f32/i32 planes resident during a pass: 3 arc planes (d/es/eo)
-    #: × 2 orderings + 2 b inputs + 6 work buffers = 14 → 56 B per padded
-    #: slot *before* padding. The authoritative check is the exact
-    #: layout-derived one in ``__init__`` / :meth:`pass_vmem_bytes`.
-    N_BIG_PLANES = 14
+    #: bytes per padded slot *before* padding: per ordering d f32 (4) +
+    #: eo int16 (2) = 12, plus 2 b inputs (8) and 6 work buffers (24) = 44.
+    #: The authoritative check is the exact layout-derived one in
+    #: ``__init__`` / :meth:`pass_vmem_bytes`.
+    BYTES_PER_SLOT = 44
     #: conservative shape-only pre-screen (assumes ≤40% slot padding) used
     #: to pick a path *without* building the layout; the exact guard below
     #: catches pathological-padding instances under this count.
-    MAX_ARCS = int(VMEM_BUDGET / (56 * 1.4))  # ~1.44M
+    MAX_ARCS = int(VMEM_BUDGET / (44 * 1.4))  # ~1.87M
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  dtype=np.float32, interpret: bool = False,
@@ -909,8 +971,8 @@ class FusedKKTSolver:
         self.n = lay.m + lay.p
         as_dev = jnp.asarray
         self._arrs = tuple(as_dev(a) for a in (
-            lay.u.d2, lay.u.es2, lay.u.eo2, lay.u.gn3,
-            lay.v.d2, lay.v.es2, lay.v.eo2, lay.v.gn3,
+            lay.u.d2, lay.u.eo2, lay.u.gn3,
+            lay.v.d2, lay.v.eo2, lay.v.gn3,
         ))
         self._wins = (as_dev(lay.u.win), as_dev(lay.v.win))
         self.tol = float(breakdown_tolerance(jnp.dtype(lay.dtype)))
@@ -921,12 +983,17 @@ class FusedKKTSolver:
         """Exact VMEM footprint of one fused pass for ``layout``: the
         authoritative admission bound (VERDICT r2 item 9 — the old
         ``MAX_ARCS`` constant encoded an 11%-padding guess; this is computed
-        from the *built* layout's actual R/C/P2)."""
-        big = layout.u.R * LANE * 4  # one (R,128) f32/i32 plane
+        from the *built* layout's actual R/C/P2 and plane dtypes)."""
+        slot = layout.u.R * LANE  # padded slots per ordering
         small = layout.P2 * LANE * 4  # one (P2,128) node plane
-        gn = layout.u.C * CHUNK * 2 * 4  # one (C,128,2) i32 group table
+        gn = layout.u.C * CHUNK * 4 * 4  # one (C,128,4) i32 group table
+        eo_b = layout.u.eo2.dtype.itemsize
+        per_ordering = slot * (4 + eo_b)  # d f32 + eo plane
+        b_inputs = 2 * slot * 4  # bu, bv
+        work = 6 * slot * 4  # v_prev/v_curr/w × u,v copies
         small_count = 1 + 3  # bn input + 3 node work buffers
-        return cls.N_BIG_PLANES * big + 2 * gn + small_count * small
+        return (2 * per_ordering + 2 * gn + b_inputs + work
+                + small_count * small)
 
     # -- shared pallas_call scaffolding --
     def _common_specs(self):
@@ -970,7 +1037,7 @@ class FusedKKTSolver:
             wg_u=lay.u.wg, wg_v=lay.v.wg)
         return pl.pallas_call(
             kern,
-            in_specs=[vm] * 11 + [sm, sm],
+            in_specs=[vm] * 9 + [sm, sm],
             out_specs=[vm, vm, vm],
             out_shape=[
                 jax.ShapeDtypeStruct((lay.u.R, LANE), jnp.float32),
@@ -997,7 +1064,7 @@ class FusedKKTSolver:
             wg_u=lay.u.wg, wg_v=lay.v.wg, comp=self.compensated)
         alphas, betas, bnorm, steps = pl.pallas_call(
             kern,
-            in_specs=[vm] * 11 + [sm, sm],
+            in_specs=[vm] * 9 + [sm, sm],
             out_specs=[sm, sm, sm, sm],
             out_shape=[
                 jax.ShapeDtypeStruct((k,), jnp.float32),
@@ -1025,7 +1092,7 @@ class FusedKKTSolver:
             wg_u=lay.u.wg, wg_v=lay.v.wg, comp=self.compensated)
         alphas, betas, bnorm, steps, basis_u, basis_n = pl.pallas_call(
             kern,
-            in_specs=[vm] * 11 + [sm, sm],
+            in_specs=[vm] * 9 + [sm, sm],
             out_specs=[sm, sm, sm, sm, hbm, hbm],
             out_shape=[
                 jax.ShapeDtypeStruct((k,), jnp.float32),
@@ -1061,7 +1128,7 @@ class FusedKKTSolver:
             wg_u=lay.u.wg, wg_v=lay.v.wg)
         xu, xn = pl.pallas_call(
             kern,
-            in_specs=[vm] * 11 + [sm] * 7,
+            in_specs=[vm] * 9 + [sm] * 7,
             out_specs=[vm, vm],
             out_shape=[
                 jax.ShapeDtypeStruct((lay.u.R, LANE), jnp.float32),

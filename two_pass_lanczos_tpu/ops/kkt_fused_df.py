@@ -202,6 +202,8 @@ def _df_chunk_matvec_scatter(xh, xl, es, eo, dh, dl, gnrb, r0, sign, wg,
     (:func:`_df_matvec_streaming_kernel`) kernels."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANE), 1)
     gn = gnrb[:, 0:1]
+    es = es.astype(jnp.int32)  # es is i32 already; eo may be an i16 plane
+    eo = eo.astype(jnp.int32)
 
     # gathers: exact moves of both planes
     gsh = _window_gather(xnh_ref, es, r0, 2)
@@ -639,7 +641,7 @@ def df_kkt_streaming_matvec(arrs, wins, xu2, xv2, xn2, *, p_hi: int,
                                memory_space=pltpu.VMEM)
     blk2 = lambda: pl.BlockSpec((2, CHUNK, LANE), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-    gnb = lambda: pl.BlockSpec((1, CHUNK, 2), lambda i: (i, 0, 0),
+    gnb = lambda: pl.BlockSpec((1, CHUNK, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     full2 = pl.BlockSpec((2, p2, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -737,23 +739,28 @@ class DFFusedKKTSolver:
     """
 
     VMEM_BUDGET = 110 * 1024 * 1024
-    #: (R,128) planes per fused df pass: per ordering d hi/lo + es + eo = 8,
-    #: 4 b inputs, 12 stacked work slots (two (6,R,128) scratches) = 24
-    #: → 96 B per padded slot before padding. Exact check below.
-    N_BIG_PLANES = 24
-    #: conservative shape-only pre-screen (≤40% padding assumed) for path
-    #: selection without a layout build; exact guard in ``__init__``.
-    MAX_ARCS = int(VMEM_BUDGET / (96 * 1.4))  # ~858k
+    #: bytes per padded slot before padding: per ordering d hi/lo + es i32 +
+    #: eo i16 = 14, plus 4 b inputs (16) and 12 work slots (48) = 92.
+    #: Exact layout-derived check below.
+    BYTES_PER_SLOT = 92
+    #: conservative pre-screen (≤40% padding assumed) for path selection
+    #: without a layout build; exact guard in ``__init__``.
+    MAX_ARCS = int(VMEM_BUDGET / (92 * 1.4))  # ~895k
 
     @classmethod
     def pass_vmem_bytes(cls, layout: SortedKKTLayout) -> int:
-        """Exact per-pass VMEM footprint for ``layout`` (df kernels): big
-        planes + the (6,P2,128) node scratch + 2 node inputs + group
-        tables."""
-        big = layout.u.R * LANE * 4
+        """Exact per-pass VMEM footprint for ``layout`` (df kernels): per
+        ordering d hi/lo + es i32 + the (possibly i16) eo plane, 4 b input
+        planes, 12 stacked work slots, the (6,P2,128) node scratch + 2 node
+        inputs + group tables."""
+        slot = layout.u.R * LANE
         small = layout.P2 * LANE * 4
-        gn = layout.u.C * CHUNK * 2 * 4
-        return cls.N_BIG_PLANES * big + 2 * gn + (2 + 6) * small
+        gn = layout.u.C * CHUNK * 4 * 4
+        es_b = layout.u.es2.dtype.itemsize
+        eo_b = layout.u.eo2.dtype.itemsize
+        per_ordering = slot * (4 + 4 + es_b + eo_b)  # d hi, d lo, es, eo
+        return (2 * per_ordering + 2 * gn + (4 + 12) * slot * 4
+                + (2 + 6) * small)
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  interpret: bool = False, windowed: bool = False):

@@ -87,9 +87,10 @@ class ShardedFusedKKTSolver:
         import dataclasses as _dc
 
         r = max(lay.u.R for lay in self.layouts)
+        p_hi0 = self.layouts[0].p_hi
         self.layouts = [
-            _dc.replace(lay, u=_pad_ordering(lay.u, r),
-                        v=_pad_ordering(lay.v, r))
+            _dc.replace(lay, u=_pad_ordering(lay.u, r, p_hi0),
+                        v=_pad_ordering(lay.v, r, p_hi0))
             for lay in self.layouts
         ]
         lay0 = self.layouts[0]

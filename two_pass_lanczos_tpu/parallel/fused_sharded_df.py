@@ -96,8 +96,8 @@ class DFShardedFusedKKTSolver:
         ]
         r = max(lay.u.R for lay in layouts)
         self.layouts = [
-            dataclasses.replace(lay, u=_pad_ordering(lay.u, r),
-                                v=_pad_ordering(lay.v, r))
+            dataclasses.replace(lay, u=_pad_ordering(lay.u, r, lay.p_hi),
+                                v=_pad_ordering(lay.v, r, lay.p_hi))
             for lay in layouts
         ]
         self.R, self.C = r, r // 128
