@@ -1,0 +1,225 @@
+"""Multi-host scaling benchmark: per-step time and nnz/s efficiency of BOTH
+distributed designs over an N-process ``jax.distributed`` mesh.
+
+The BASELINE target is ">= 80% nnz/s scaling efficiency at N >= 2 hosts".
+This script is the ready-to-run measurement artifact (VERDICT r2 item 5):
+
+* launched WITHOUT ``--process-id`` it is the orchestrator — it spawns N
+  worker processes of itself (one per "host"), collects their JSON, computes
+  the efficiency table, and prints one BENCH-style JSON line per design;
+* launched WITH ``--process-id`` it is one worker: it joins the
+  ``jax.distributed`` mesh, builds the instance, and times the solve.
+
+On this machine the workers use the CPU backend with virtual devices, so
+the printed numbers are CORRECTNESS-GRADE ONLY (collectives are memcpys;
+``meaningful: false`` in the JSON). On a real pod slice, run the same
+worker command on every host with ``--backend tpu`` and the coordinator
+address of host 0 — nothing else changes (`jax.distributed.initialize` +
+``make_array_from_callback`` handle per-host shard materialization).
+
+Usage (virtual, what CI runs):
+
+    python scripts/scaling_bench.py --processes 1 2 --arcs 100000 --k 50
+
+Usage (real pod, on each host i of N):
+
+    python scripts/scaling_bench.py --process-id $i --num-processes $N \
+        --coordinator host0:8476 --backend tpu --arcs 5000000 --k 500
+
+JSON schema (one line per (design, N)):
+
+    {"metric": "scaling_<design>_nproc<N>", "seconds_per_step": float,
+     "nnz_per_s": float, "efficiency_vs_1proc": float|null,
+     "arcs": int, "k": int, "ndev": int, "meaningful": bool}
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+# the package root (scripts/ is one level down); workers are spawned with
+# this on PYTHONPATH so the artifact runs from any cwd without installation
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def _env():
+    e = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    e["PYTHONPATH"] = _ROOT + os.pathsep + e.get("PYTHONPATH", "")
+    return e
+
+
+def worker(args) -> int:
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices_per_process)
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    import numpy as np
+
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedFusedKKTSolver,
+        ShardedSparseOperator,
+        make_mesh,
+    )
+
+    inst = generate_mcf_instance(args.arcs, rho=3, instance_id=1)
+    m, p = inst.num_arcs, inst.num_nodes
+    n = m + p
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n).astype(np.float32)
+    ndev = len(jax.devices())
+    mesh = make_mesh(ndev)
+    interpret = jax.default_backend() != "tpu"
+    nnz = 5 * m
+    out = {}
+
+    def timed(run):
+        run()  # compile
+        t0 = time.perf_counter()
+        reps = max(args.reps, 1)
+        for _ in range(reps):
+            run()
+        return (time.perf_counter() - t0) / reps
+
+    # design 1: arc-sharded fused (O(p) psum per step)
+    sf = ShardedFusedKKTSolver(
+        inst.quad_costs.astype(np.float32), inst.arc_u, inst.arc_v, p,
+        mesh, interpret=interpret)
+
+    def run_fused():
+        (xu, xn), dec = sf.solve(b, k=args.k, f="inv", raw=True)
+        float(dec.b_norm)  # forced readback of a replicated scalar
+        return xn
+
+    t_fused = timed(run_fused)
+    out["fused"] = dict(seconds_per_step=t_fused / (2 * args.k),
+                        nnz_per_s=nnz * 2 * args.k / t_fused)
+
+    # design 2: generic row partition (all-gather overlapped w/ owned SpMV)
+    op = ShardedSparseOperator.from_kkt_arrays(inst, mesh, dtype=np.float32)
+
+    def run_generic():
+        x, dec = op.solve_fAb(b.astype(np.float32), k=args.k, f="inv",
+                              method="two_pass", raw=True)
+        float(dec.b_norm)  # forced readback of a replicated scalar
+        return x
+
+    t_gen = timed(run_generic)
+    out["generic"] = dict(seconds_per_step=t_gen / (2 * args.k),
+                          nnz_per_s=nnz * 2 * args.k / t_gen)
+
+    if args.process_id == 0 or args.num_processes == 1:
+        print("SCALING_RESULT " + json.dumps(
+            dict(ndev=ndev, nproc=max(args.num_processes, 1),
+                 backend=jax.default_backend(), **out)))
+    if args.num_processes > 1:
+        jax.distributed.shutdown()
+    return 0
+
+
+def orchestrate(args) -> int:
+    results = {}
+    for nproc in args.processes:
+        if nproc == 1:
+            cmd = [sys.executable, __file__, "--process-id", "0",
+                   "--num-processes", "1"]
+            procs = None
+        else:
+            cmd = None
+            procs = []
+            for pid in range(nproc):
+                procs.append(subprocess.Popen(
+                    [sys.executable, __file__,
+                     "--process-id", str(pid),
+                     "--num-processes", str(nproc),
+                     "--coordinator", f"localhost:{args.port}",
+                     "--devices-per-process",
+                     str(args.devices_per_process),
+                     "--arcs", str(args.arcs), "--k", str(args.k),
+                     "--reps", str(args.reps)],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, env=_env()))
+        if procs is None:
+            proc = subprocess.run(
+                cmd + ["--arcs", str(args.arcs), "--k", str(args.k),
+                       "--reps", str(args.reps),
+                       "--devices-per-process",
+                       str(args.devices_per_process)],
+                capture_output=True, text=True, env=_env())
+            outs = [proc.stdout]
+            rc = proc.returncode
+            errs = [proc.stderr]
+        else:
+            outs, errs, rc = [], [], 0
+            for pr in procs:
+                so, se = pr.communicate(timeout=args.timeout)
+                outs.append(so)
+                errs.append(se)
+                rc |= pr.returncode
+        if rc:
+            sys.stderr.write("worker failure at N=%d:\n%s\n"
+                             % (nproc, "\n".join(errs)[-3000:]))
+            return 1
+        for so in outs:
+            for line in so.splitlines():
+                if line.startswith("SCALING_RESULT "):
+                    results[nproc] = json.loads(line.split(" ", 1)[1])
+    base = results.get(min(results))
+    meaningful = any(r.get("backend") == "tpu" for r in results.values())
+    for nproc in sorted(results):
+        r = results[nproc]
+        for design in ("fused", "generic"):
+            d = r[design]
+            base_rate = base[design]["nnz_per_s"] if base else None
+            eff = (d["nnz_per_s"] / (base_rate * nproc / min(results))
+                   if base_rate else None)
+            print(json.dumps({
+                "metric": f"scaling_{design}_nproc{nproc}",
+                "seconds_per_step": round(d["seconds_per_step"], 7),
+                "nnz_per_s": round(d["nnz_per_s"], 1),
+                "efficiency_vs_1proc": round(eff, 4) if eff else None,
+                "arcs": args.arcs, "k": args.k, "ndev": r["ndev"],
+                "meaningful": meaningful,
+            }))
+    if not meaningful:
+        print(json.dumps({
+            "note": "CPU virtual mesh: correctness-grade only — collectives"
+                    " are memcpys; run with --backend tpu on a pod for the"
+                    " >=80% BASELINE efficiency measurement"}))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--processes", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--coordinator", default="localhost:8476")
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--arcs", type=int, default=100_000)
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--port", type=int, default=8476)
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args()
+    if args.process_id is not None:
+        return worker(args)
+    return orchestrate(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -150,7 +150,11 @@ class ShardedSparseOperator:
         bp = np.zeros(self.part.n_pad, dtype=self.dtype)
         bp[: self.part.n_orig] = b
         bp = bp[self.part.perm]
-        return jax.device_put(jnp.asarray(bp), self.vec_sharding)
+        # make_array_from_callback materializes only each process's
+        # addressable shards, so the same code runs single-process and
+        # multi-host (a plain device_put of the full array cannot)
+        return jax.make_array_from_callback(
+            bp.shape, self.vec_sharding, lambda idx: bp[idx])
 
     def _restore_x(self, x_perm) -> np.ndarray:
         x = np.asarray(x_perm)[self.part.inv_perm]
@@ -194,16 +198,23 @@ class ShardedSparseOperator:
             self._solve_cache[key] = self._build_solve(k, f, method)
         return self._solve_cache[key]
 
-    def solve_fAb(self, b, *, k: int, f="exp", method: str = "two_pass"):
+    def solve_fAb(self, b, *, k: int, f="exp", method: str = "two_pass",
+                  raw: bool = False):
         """Distributed f(A)·b. Returns ``(x, decomposition)``.
 
         ``x`` is a NumPy array in original row order; the decomposition's
-        (α, β, steps) are replica-identical device arrays.
+        (α, β, steps) are replica-identical device arrays. Multi-host runs
+        must use ``raw=True`` (``x`` stays the sharded, row-permuted device
+        array — unpacking requires every shard to be process-addressable);
+        the decomposition is replicated and host-readable everywhere.
         """
         b_local = self._prepare_b(b)
         x_perm, alphas, betas, steps, b_norm = self._solver(k, f, method)(
             self.local_blocks, b_local
         )
+        if raw:
+            return x_perm, LanczosDecomposition(
+                alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
         # b_norm is the device-side psum norm that actually scaled x — the
         # returned decomposition replays bit-consistently with the result
         decomp = LanczosDecomposition(
