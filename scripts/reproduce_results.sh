@@ -18,9 +18,12 @@ for fn in exp inv; do
       --function $fn --scenario ${sc}-conditioned --size 10000 \
       --k-min 10 --k-max 200 --k-step 10 --cpu-f64 \
       --output "$OUT/accuracy_${fn}_${sc}-conditioned.csv"
+    # the reference publishes a 100-row (step-10) grid for inv/ill and a
+    # 50-row (step-20) grid for the other three scenarios — match both
+    if [ "$fn-$sc" = "inv-ill" ]; then OSTEP=10; else OSTEP=20; fi
     $RUN two_pass_lanczos_tpu.experiments.orthogonality \
       --function $fn --scenario ${sc}-conditioned --size 10000 \
-      --k-min 20 --k-max 1000 --k-step 20 --cpu-f64 \
+      --k-min 20 --k-max 1000 --k-step $OSTEP --cpu-f64 \
       --output "$OUT/orthogonality_${fn}_${sc}-conditioned.csv"
   done
 done
@@ -31,6 +34,36 @@ $RUN two_pass_lanczos_tpu.experiments.stability \
   --function inv --scenario ill-conditioned --size 10000 \
   --k-min 10 --k-max 300 --k-step 10 --seed 7 --cpu-f64 \
   --output "$OUT/accuracy_inv_ill-conditioned_seed7.csv"
+
+# the definitive transition artifact: k-step 5 over [100, 300] for three
+# seeds + the published median curve and plot (REPORT.md §1)
+for s in 7 42 101; do
+  $RUN two_pass_lanczos_tpu.experiments.stability \
+    --function inv --scenario ill-conditioned --size 10000 \
+    --k-min 100 --k-max 300 --k-step 5 --seed $s --cpu-f64 \
+    --output "$OUT/accuracy_inv_ill_transition_seed${s}.csv"
+done
+python - "$OUT" <<'PYEOF'
+import csv, sys
+import numpy as np
+out = sys.argv[1]
+seeds = [7, 42, 101]
+data = {}
+for s in seeds:
+    rows = list(csv.DictReader(open(f"{out}/accuracy_inv_ill_transition_seed{s}.csv")))
+    data[s] = {int(r["k"]): (float(r["relative_error_standard"]),
+                             float(r["relative_error_two_pass"])) for r in rows}
+ks = sorted(data[seeds[0]])
+with open(f"{out}/accuracy_inv_ill_transition_median.csv", "w", newline="") as fh:
+    w = csv.writer(fh)
+    w.writerow(["k", "median_relative_error_standard",
+                "median_relative_error_two_pass"] + [f"std_seed{s}" for s in seeds])
+    for k in ks:
+        stds = [data[s][k][0] for s in seeds]
+        tps = [data[s][k][1] for s in seeds]
+        w.writerow([k, float(np.median(stds)), float(np.median(tps))] + stds)
+PYEOF
+(cd python && python plot_transition.py "../$OUT/accuracy_inv_ill_transition_median.csv" "../$OUT/images")
 
 for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")

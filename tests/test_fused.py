@@ -375,3 +375,79 @@ class TestCompensatedReduction:
         err_p = np.abs(np.asarray(dec_p.alphas, np.float64) - a64).max()
         err_c = np.abs(np.asarray(dec_c.alphas, np.float64) - a64).max()
         assert err_c <= err_p * 1.5, (err_c, err_p)
+
+
+class TestFusedChunked:
+    """In-run early stopping on the fused production path
+    (`FusedKKTSolver.pass_one_chunked`): chunked coefficients must be
+    bit-identical to the monolithic kernel's, the callback must see the
+    reference's view contract, and a stop at s must execute at most
+    ceil(s/chunk)*chunk steps."""
+
+    def _solver(self, rng, m=900, p=120):
+        d, u, v, p = _random_kkt(rng, m=m, p=p)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        return s, s.pack_flat(b)
+
+    def test_bit_identical_to_monolithic(self, rng):
+        s, bf = self._solver(rng)
+        k = 23  # non-multiple of chunk: exercises the frozen tail steps
+        ref = s.pass_one(s._split_flat(bf), k)
+        got = s.pass_one_chunked(s._split_flat(bf), k, chunk=8)
+        np.testing.assert_array_equal(np.asarray(got.alphas),
+                                      np.asarray(ref.alphas))
+        np.testing.assert_array_equal(np.asarray(got.betas),
+                                      np.asarray(ref.betas))
+        assert int(got.steps_taken) == int(ref.steps_taken) == k
+        np.testing.assert_allclose(float(got.b_norm), float(ref.b_norm),
+                                   rtol=1e-6)
+
+    def test_callback_early_stop_and_view_contract(self, rng):
+        s, bf = self._solver(rng)
+        k, stop_at = 30, 11
+        seen = []
+
+        def cb(step, basis, scalars):
+            alphas, betas = scalars
+            assert basis is None  # two-pass production path stores no basis
+            assert len(alphas) == step and len(betas) == step - 1
+            seen.append(step)
+            return step < stop_at
+
+        dec = s.pass_one_chunked(s._split_flat(bf), k, callback=cb, chunk=8)
+        assert seen == list(range(1, stop_at + 1))
+        assert int(dec.steps_taken) == stop_at
+        # alphas beyond the stop are zeroed (early-stop truncation)
+        a = np.asarray(dec.alphas)
+        assert np.all(a[stop_at:] == 0.0) and np.all(a[:stop_at] != 0.0)
+        # and the truncated decomposition drives pass two end-to-end
+        from two_pass_lanczos_tpu.functions import padded_f_e1
+        import jax.numpy as jnp
+
+        y = padded_f_e1(dec, "inv")
+        y_full = jnp.where(jnp.arange(k) < dec.steps_taken,
+                           y.astype(jnp.float32) * dec.b_norm, 0.0)
+        xu, xn = s.pass_two(s._split_flat(bf), dec, y_full)
+        assert np.isfinite(np.asarray(xu)).all()
+
+    def test_breakdown_inside_chunk(self, rng):
+        # diagonal-invariant subspace: b = e1 on a 2-node decoupled system
+        d = np.array([2.0, 3.0], np.float32)
+        u = np.array([0, 1], np.int32)
+        v = np.array([1, 0], np.int32)
+        s = FusedKKTSolver(d, u, v, 2, interpret=True)
+        ref = s.pass_one(s._split_flat(s.pack_flat(
+            np.eye(4, dtype=np.float32)[0])), 6)
+        got = s.pass_one_chunked(s._split_flat(s.pack_flat(
+            np.eye(4, dtype=np.float32)[0])), 6, chunk=4)
+        assert int(got.steps_taken) == int(ref.steps_taken)
+        np.testing.assert_array_equal(np.asarray(got.alphas),
+                                      np.asarray(ref.alphas))
+
+    def test_zero_b(self, rng):
+        s, _ = self._solver(rng)
+        bf = s.pack_flat(np.zeros(s.n, np.float32))
+        dec = s.pass_one_chunked(s._split_flat(bf), 8, chunk=4)
+        assert int(dec.steps_taken) == 0
+        np.testing.assert_array_equal(np.asarray(dec.alphas), 0.0)
