@@ -163,7 +163,7 @@ def kkt_streaming_sol(layout, achieved_seconds: float,
                       backend: str = "tpu") -> SoLReport:
     """Speed-of-light bound for the **dual-sorted streaming matvec**
     (``ops/kkt_fused.kkt_streaming_matvec``) — the BASELINE.md per-chip
-    metric applies to this path (used beyond ~1.4M arcs and inside
+    metric applies to this path (used beyond ~1.9M arcs and inside
     ``ShardedFusedKKTSolver``).
 
     Exact HBM traffic per matvec, from the kernel's BlockSpecs: per ordering

@@ -19,7 +19,7 @@ structure. Measured: **0.70 s** for the 500k-arc/k=500 two-pass solve —
 with no native f64 (REPORT.md §10, PERF.md "Double-float engineering").
 
 VMEM budget: state doubles (vector planes ×2, d stored as a pair), ~120 B
-per padded slot — the resident cap is ~0.8M arcs/chip (vs 1.4M for f32).
+per padded slot — the resident cap is ~0.9M arcs/chip (vs ~1.9M for f32).
 
 Numerical semantics mirror ``algorithms/df.py`` step for step (same op
 order, df reciprocal-multiply, breakdown at 1000·2⁻⁴⁹, stored-β replay in
