@@ -15,7 +15,8 @@ import csv
 import sys
 from pathlib import Path
 
-from plot_common import VARIANT_COLORS, new_fig, save, style_axes
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # plot_common
+from plot_common import VARIANT_COLORS, new_fig, save, style_axes  # noqa: E402
 
 REFERENCE_K200 = 6.57e-6  # reference results/accuracy_inv_ill-conditioned.csv
 
@@ -30,8 +31,11 @@ def create_plot(csv_path: Path, outdir: Path) -> None:
         ax.semilogy(ks, [float(r[col]) for r in rows], linewidth=0.9,
                     alpha=0.55, color=VARIANT_COLORS["standard"],
                     label=f"seed {col.removeprefix('std_seed')}")
+    # neutral dark for the aggregate: the per-variant colors are reserved
+    # for the variant entities across all figures (plot_common contract),
+    # and every curve here is the STANDARD variant
     ax.semilogy(ks, [float(r["median_relative_error_standard"]) for r in rows],
-                linewidth=2.2, color=VARIANT_COLORS["two-pass"],
+                linewidth=2.2, color="#333333",
                 label="median of 3 seeds")
     ax.plot([200], [REFERENCE_K200], marker="o", markersize=7,
             color="black", linestyle="none",

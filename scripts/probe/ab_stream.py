@@ -6,8 +6,6 @@ import numpy as np
 
 arcs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 which = sys.argv[2] if len(sys.argv) > 2 else "both"
-# v2a = v2 layout but eo widened to int32 on the host (bisects the int16
-# unpack cost from the g_s/mask construction cost)
 
 import jax, jax.numpy as jnp
 from jax import lax
@@ -66,5 +64,5 @@ def measure(mod, label):
     print(f"{label} arcs={arcs}: {per*1e6:.1f} us/matvec  wg_u={lay.u.wg} wg_v={lay.v.wg}", flush=True)
     return per
 
-for lab in (["v1", "v2", "v2a"] if which == "both" else [which]):
+for lab in (["v1", "v2"] if which == "both" else [which]):
     measure(v1 if lab == "v1" else v2, lab)

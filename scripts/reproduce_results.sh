@@ -63,7 +63,7 @@ with open(f"{out}/accuracy_inv_ill_transition_median.csv", "w", newline="") as f
         tps = [data[s][k][1] for s in seeds]
         w.writerow([k, float(np.median(stds)), float(np.median(tps))] + stds)
 PYEOF
-(cd python && python plot_transition.py "../$OUT/accuracy_inv_ill_transition_median.csv" "../$OUT/images")
+python python/plot_transition.py "$OUT/accuracy_inv_ill_transition_median.csv" "$OUT/images"
 
 for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")

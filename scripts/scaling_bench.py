@@ -47,8 +47,10 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
-def _env():
-    e = {**os.environ, "JAX_PLATFORMS": "cpu"}
+def _env(backend="cpu"):
+    e = dict(os.environ)
+    if backend == "cpu":
+        e["JAX_PLATFORMS"] = "cpu"
     e["PYTHONPATH"] = _ROOT + os.pathsep + e.get("PYTHONPATH", "")
     return e
 
@@ -149,16 +151,18 @@ def orchestrate(args) -> int:
                      "--devices-per-process",
                      str(args.devices_per_process),
                      "--arcs", str(args.arcs), "--k", str(args.k),
-                     "--reps", str(args.reps)],
+                     "--reps", str(args.reps),
+                     "--backend", args.backend],
                     stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                    text=True, env=_env()))
+                    text=True, env=_env(args.backend)))
         if procs is None:
             proc = subprocess.run(
                 cmd + ["--arcs", str(args.arcs), "--k", str(args.k),
                        "--reps", str(args.reps),
+                       "--backend", args.backend,
                        "--devices-per-process",
                        str(args.devices_per_process)],
-                capture_output=True, text=True, env=_env())
+                capture_output=True, text=True, env=_env(args.backend))
             outs = [proc.stdout]
             rc = proc.returncode
             errs = [proc.stderr]

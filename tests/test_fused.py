@@ -176,13 +176,15 @@ def test_vmem_guard_is_layout_derived(rng):
     d, u, v, p = _random_kkt(rng, m=700, p=90)
     lay = SortedKKTLayout.build(d, u, v, p)
     # independent accounting: per ordering d f32 + eo (int16 here since
-    # p <= 32640), 2 b inputs + 6 work buffers in f32, 2 four-channel group
-    # tables, 4 node planes
+    # p <= 32640), 2 b inputs + 6 work buffers + pass-two's xu output in
+    # f32, 2 four-channel group tables, 5 node planes (incl. xn output)
     assert lay.u.eo2.dtype == np.int16
     slots = lay.u.R * LANE
-    expect = (2 * slots * (4 + 2) + (2 + 6) * slots * 4
-              + 2 * lay.u.C * CHUNK * 4 * 4 + 4 * lay.P2 * LANE * 4)
+    expect = (2 * slots * (4 + 2) + (2 + 6 + 1) * slots * 4
+              + 2 * lay.u.C * CHUNK * 4 * 4 + 5 * lay.P2 * LANE * 4)
     assert FusedKKTSolver.pass_vmem_bytes(lay) == expect
+    # the chunk kernel's footprint is strictly larger (state in + out)
+    assert FusedKKTSolver.chunk_vmem_bytes(lay) > expect
 
     # every node gets >= 1 group, so p >> m forces huge slot padding: the
     # old constant-only guard admitted this shape, the exact one must not.

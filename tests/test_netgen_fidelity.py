@@ -106,9 +106,16 @@ def _presets():
     vendored = sorted((REPO / "data" / "netgen" / "param").glob("*.par"))
     reference = sorted(REF_PRESETS.glob("net10_32_*.par")) + sorted(
         REF_PRESETS.glob("net10_64_*.par"))
-    out = [(p, p.stem) for p in vendored + reference]
-    assert len(out) >= 10, "need >= 10 presets for the fidelity sweep"
-    return out
+    # no assert here: this runs at collection time even when the module-level
+    # skipif will skip every test (reference tree not mounted)
+    return [(p, p.stem) for p in vendored + reference]
+
+
+def test_preset_sweep_is_wide_enough():
+    """The fidelity sweep must span >= 10 presets (VERDICT r2 item 3's
+    done-criterion); guarded here rather than at collection time so an
+    unmounted reference tree skips instead of erroring the whole run."""
+    assert len(_presets()) >= 10
 
 
 @pytest.mark.parametrize("par,name", _presets(), ids=lambda x: x if isinstance(x, str) else "")

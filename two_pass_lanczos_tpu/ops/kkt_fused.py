@@ -1086,20 +1086,39 @@ class FusedKKTSolver:
 
     @classmethod
     def pass_vmem_bytes(cls, layout: SortedKKTLayout) -> int:
-        """Exact VMEM footprint of one fused pass for ``layout``: the
-        authoritative admission bound (VERDICT r2 item 9 — the old
+        """Exact VMEM footprint of the largest solve-path kernel (pass two,
+        which adds the xu/xn output planes on top of pass one's buffers):
+        the authoritative admission bound (VERDICT r2 item 9 — the old
         ``MAX_ARCS`` constant encoded an 11%-padding guess; this is computed
         from the *built* layout's actual R/C/P2 and plane dtypes)."""
         slot = layout.u.R * LANE  # padded slots per ordering
+        big = slot * 4  # one (R,128) f32 plane
         small = layout.P2 * LANE * 4  # one (P2,128) node plane
         gn = layout.u.C * CHUNK * 4 * 4  # one (C,128,4) i32 group table
         eo_b = layout.u.eo2.dtype.itemsize
         per_ordering = slot * (4 + eo_b)  # d f32 + eo plane
-        b_inputs = 2 * slot * 4  # bu, bv
-        work = 6 * slot * 4  # v_prev/v_curr/w × u,v copies
-        small_count = 1 + 3  # bn input + 3 node work buffers
-        return (2 * per_ordering + 2 * gn + b_inputs + work
+        b_inputs = 2 * big  # bu, bv
+        work = 6 * big  # v_prev/v_curr/w × u,v copies
+        out = big  # pass two's xu output (pass one has only SMEM outputs)
+        small_count = 1 + 3 + 1  # bn input + 3 node work buffers + xn out
+        return (2 * per_ordering + 2 * gn + b_inputs + work + out
                 + small_count * small)
+
+    @classmethod
+    def chunk_vmem_bytes(cls, layout: SortedKKTLayout) -> int:
+        """Exact VMEM footprint of the resumable chunk kernel
+        (:meth:`pass_one_chunked`): it carries the state planes as BOTH
+        inputs and outputs (su/sv/sn in + out = 8 big + 4 small beyond the
+        shared arc/b planes) with only the w scratch triplet."""
+        slot = layout.u.R * LANE
+        big = slot * 4
+        small = layout.P2 * LANE * 4
+        gn = layout.u.C * CHUNK * 4 * 4
+        eo_b = layout.u.eo2.dtype.itemsize
+        per_ordering = slot * (4 + eo_b)
+        return (2 * per_ordering + 2 * gn
+                + (2 + 4 + 4 + 2) * big  # b in, state in, state out, w
+                + (1 + 2 + 2 + 1) * small)  # bn, sn in, sn out, wn
 
     # -- shared pallas_call scaffolding --
     def _common_specs(self):
@@ -1241,6 +1260,14 @@ class FusedKKTSolver:
         bit-identical to the monolithic :meth:`pass_one`.
         """
         lay = self.layout
+        need = self.chunk_vmem_bytes(lay)
+        if need > self.VMEM_BUDGET and not self.interpret:
+            raise ValueError(
+                f"chunked pass one needs {need} bytes of VMEM (the resumable"
+                f" state rides as kernel inputs AND outputs), over the"
+                f" {self.VMEM_BUDGET}-byte budget; use the monolithic"
+                " pass_one with post-hoc observability.replay_iterations, or"
+                " a smaller instance.")
         run = self._chunk_call(chunk)
         su = jnp.zeros((2, lay.u.R, LANE), jnp.float32)
         sv = jnp.zeros((2, lay.v.R, LANE), jnp.float32)

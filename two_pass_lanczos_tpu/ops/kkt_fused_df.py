@@ -759,8 +759,9 @@ class DFFusedKKTSolver:
         es_b = layout.u.es2.dtype.itemsize
         eo_b = layout.u.eo2.dtype.itemsize
         per_ordering = slot * (4 + 4 + es_b + eo_b)  # d hi, d lo, es, eo
-        return (2 * per_ordering + 2 * gn + (4 + 12) * slot * 4
-                + (2 + 6) * small)
+        # + pass two's xuh/xul outputs (2 big) and xnh/xnl outputs (2 small)
+        return (2 * per_ordering + 2 * gn + (4 + 12 + 2) * slot * 4
+                + (2 + 6 + 2) * small)
 
     def __init__(self, quad_costs, arc_u, arc_v, num_nodes,
                  interpret: bool = False, windowed: bool = False):

@@ -23,8 +23,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["RowPartition", "snake_partition", "build_local_blocks",
-           "build_local_blocks_split"]
+__all__ = ["RowPartition", "snake_partition", "build_local_blocks_split"]
 
 
 class RowPartition(NamedTuple):
@@ -77,49 +76,6 @@ def snake_partition(nnz_per_row: np.ndarray, ndev: int) -> RowPartition:
     )
 
 
-def build_local_blocks(rows, cols, vals, part: RowPartition, pad_multiple: int = 128):
-    """Split global COO triplets into per-device local blocks.
-
-    Returns stacked arrays of shape ``(ndev, max_nnz)``:
-
-    * ``local_rows`` — row index *within* the device shard (0..rows_per-1),
-      sorted ascending (monotonic segment-sum);
-    * ``local_cols`` — column index in *permuted* global space (indexes the
-      all-gathered vector directly);
-    * ``local_vals`` — values, zero-padded.
-
-    Padding entries target the LAST local row / column 0 with value 0 —
-    the tail must keep ``local_rows`` ascending because the scatter-add in
-    the sharded matvec promises ``indices_are_sorted=True``.
-    """
-    rows = np.asarray(rows, dtype=np.int64)
-    cols = np.asarray(cols, dtype=np.int64)
-    vals = np.asarray(vals)
-    pos_r = part.inv_perm[rows]  # permuted row positions
-    pos_c = part.inv_perm[cols]
-    dev = pos_r // part.rows_per
-    lrow = pos_r - dev * part.rows_per
-
-    order = np.lexsort((lrow, dev))
-    dev, lrow, pos_c, vals = dev[order], lrow[order], pos_c[order], vals[order]
-
-    counts = np.bincount(dev, minlength=part.ndev)
-    max_nnz = int(counts.max()) if counts.size else 1
-    max_nnz = max(((max_nnz + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
-
-    lr = np.full((part.ndev, max_nnz), part.rows_per - 1, dtype=np.int32)
-    lc = np.zeros((part.ndev, max_nnz), dtype=np.int32)
-    lv = np.zeros((part.ndev, max_nnz), dtype=vals.dtype)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for d in range(part.ndev):
-        s, e = starts[d], starts[d + 1]
-        c = e - s
-        lr[d, :c] = lrow[s:e]
-        lc[d, :c] = pos_c[s:e]
-        lv[d, :c] = vals[s:e]
-    return lr, lc, lv
-
-
 def build_local_blocks_split(rows, cols, vals, part: RowPartition,
                              pad_multiple: int = 128):
     """Per-device local blocks split into OWNED-column and REMOTE-column
@@ -138,8 +94,9 @@ def build_local_blocks_split(rows, cols, vals, part: RowPartition,
     * remote: ``(lr, lc_global, lv)`` with ``lc_global`` indexing the
       all-gathered vector.
 
-    Both keep local rows ascending (monotonic segment-sum contract) and pad
-    with the last local row / col 0 / val 0 like :func:`build_local_blocks`.
+    Both keep local rows ascending (the scatter-add in the sharded matvec
+    promises ``indices_are_sorted=True``) and pad with the last local row /
+    col 0 / val 0.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)

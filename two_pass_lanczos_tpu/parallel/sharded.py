@@ -223,8 +223,11 @@ class ShardedSparseOperator:
         return self._restore_x(x_perm), decomp
 
     # ------------------------------------------------------------------
-    def matvec_distributed(self, x) -> np.ndarray:
-        """One distributed SpMV (for tests/benchmarks); original order in/out."""
+    def matvec_distributed(self, x, raw: bool = False):
+        """One distributed SpMV (for tests/benchmarks); original order
+        in/out. Multi-host runs must pass ``raw=True`` (the permuted sharded
+        device array is returned; unpacking needs every shard
+        process-addressable)."""
         axis, rows_per = self.axis, self.part.rows_per
 
         if "matvec" not in self._solve_cache:  # compile once, reuse per call
@@ -243,4 +246,6 @@ class ShardedSparseOperator:
                 )
             )
         y = self._solve_cache["matvec"](self.local_blocks, self._prepare_b(x))
+        if raw:
+            return y
         return self._restore_x(y)
