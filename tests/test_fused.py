@@ -453,3 +453,25 @@ class TestFusedChunked:
         dec = s.pass_one_chunked(s._split_flat(bf), 8, chunk=4)
         assert int(dec.steps_taken) == 0
         np.testing.assert_array_equal(np.asarray(dec.alphas), 0.0)
+
+
+def test_solve_with_callback_early_stop(rng):
+    """`FusedKKTSolver.solve(callback=...)` wires in-run early stopping
+    through the high-level API: a stop at step s produces the same result
+    as a plain solve with k = s (same coefficients, pass two masked to
+    the executed prefix)."""
+    d, u, v, p = _random_kkt(rng, m=800, p=110)
+    s = FusedKKTSolver(d, u, v, p, interpret=True)
+    b = rng.standard_normal(len(d) + p).astype(np.float32)
+    stop_at = 9
+
+    x_cb, dec = s.solve(b, k=20, f="inv", callback=lambda st, V, sc: st < stop_at,
+                        callback_chunk=4)
+    assert int(dec.steps_taken) == stop_at
+    x_ref, dec_ref = s.solve(b, k=stop_at, f="inv")
+    np.testing.assert_array_equal(np.asarray(dec.alphas)[:stop_at],
+                                  np.asarray(dec_ref.alphas))
+    np.testing.assert_allclose(x_cb, x_ref, rtol=0,
+                               atol=1e-6 * np.abs(x_ref).max())
+    with pytest.raises(ValueError, match="two_pass"):
+        s.solve(b, k=8, f="inv", method="one_pass", callback=lambda *a: True)

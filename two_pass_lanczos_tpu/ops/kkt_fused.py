@@ -1399,17 +1399,48 @@ class FusedKKTSolver:
         return jnp.concatenate([xu, xn], axis=0), decomp
 
     def solve(self, b, k: int, f="inv", method: str = "two_pass",
-              raw: bool = False):
+              raw: bool = False, callback=None, callback_chunk: int = 64):
         """f(A)·b via the fused kernels. ``method`` ∈ {"one_pass",
         "two_pass"}. Returns ``(x, decomposition)``; ``x`` is an (n,) NumPy
         array in the original ordering, or the raw stacked ``(R+P2, 128)``
         rep-layout device array when ``raw=True`` (cheaper: skips the
-        unpermute and the host round-trip)."""
+        unpermute and the host round-trip).
+
+        ``callback`` (two_pass only) enables in-run early stopping: pass
+        one runs via :meth:`pass_one_chunked` in ``callback_chunk``-step
+        kernel launches and a stop at step s truncates the solve to s
+        (the reference's in-loop ``LanczosCallback`` break-out)."""
         b_flat = self.pack_flat(b)
-        if not hasattr(self, "_solve_jit"):
-            self._solve_jit = jax.jit(
-                self._solve_rep, static_argnums=(1, 2, 3))
-        x_flat, decomp = self._solve_jit(b_flat, k, f, method)
+        if callback is not None:
+            if method != "two_pass":
+                raise ValueError(
+                    "callback early stopping is implemented for the "
+                    "two_pass method (the one-pass variant streams its "
+                    "basis in one monolithic kernel)")
+            b_rep = self._split_flat(b_flat)
+            decomp = self.pass_one_chunked(
+                b_rep, k, callback=callback, chunk=callback_chunk)
+            if "_finish" not in self._chunk_jits:
+                def finish(b_flat2, alphas, betas, steps, b_norm, kk, ff):
+                    dec = LanczosDecomposition(
+                        alphas=alphas, betas=betas, steps_taken=steps,
+                        b_norm=b_norm)
+                    y = padded_f_e1(dec, ff)
+                    y_full = jnp.where(jnp.arange(kk) < steps,
+                                       y.astype(jnp.float32) * b_norm, 0.0)
+                    xu, xn = self.pass_two(
+                        self._split_flat(b_flat2), dec, y_full)
+                    return jnp.concatenate([xu, xn], axis=0)
+                self._chunk_jits["_finish"] = jax.jit(
+                    finish, static_argnums=(5, 6))
+            x_flat = self._chunk_jits["_finish"](
+                b_flat, decomp.alphas, decomp.betas, decomp.steps_taken,
+                decomp.b_norm, k, f)
+        else:
+            if not hasattr(self, "_solve_jit"):
+                self._solve_jit = jax.jit(
+                    self._solve_rep, static_argnums=(1, 2, 3))
+            x_flat, decomp = self._solve_jit(b_flat, k, f, method)
         if raw:
             return x_flat, decomp
         x_np = np.asarray(x_flat)
