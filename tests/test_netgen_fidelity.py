@@ -9,9 +9,16 @@ the original is drand48-seeded), so the contract is: same node/arc counts,
 same skeleton structure (supply routing source→chain→sink), matching cost /
 capacity / degree distributions within sampling tolerance, and the same
 HICOST / CAPACITATED / TSOURCES / TSINKS semantics.
+
+The 60 reference presets are vendored under
+`data/netgen/param/reference/` (plain-text config data, provenance in
+PROVENANCE.md there), so the preset sweep is self-contained: the
+oracle-free structural sweep (`test_preset_structure_self_contained`)
+runs on every machine; only the compiled-oracle *comparison* is gated on
+the reference tree being mounted.
 """
 
-import shutil
+import os
 import subprocess
 from pathlib import Path
 
@@ -20,14 +27,23 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 REF_SRC = Path("/root/reference/data/netgen/src")
-REF_PRESETS = Path("/root/reference/data/netgen/param")
+VENDORED_PRESETS = REPO / "data" / "netgen" / "param" / "reference"
 
-pytestmark = pytest.mark.skipif(
+needs_oracle = pytest.mark.skipif(
     not REF_SRC.exists(), reason="reference netgen sources not mounted")
 
 
 @pytest.fixture(scope="module")
-def binaries(tmp_path_factory):
+def mcfgen_bin():
+    mine = REPO / "cpp" / "mcfgen"
+    if not mine.exists():
+        subprocess.run(["make", "-C", str(REPO / "cpp")], check=True,
+                       capture_output=True)
+    return mine
+
+
+@pytest.fixture(scope="module")
+def binaries(tmp_path_factory, mcfgen_bin):
     tmp = tmp_path_factory.mktemp("netgen_fid")
     ref = tmp / "netgen_ref"
     subprocess.run(
@@ -35,11 +51,7 @@ def binaries(tmp_path_factory):
          str(REF_SRC / "netgen.c"), str(REF_SRC / "index.c"),
          str(REF_SRC / "random.c")],
         check=True, capture_output=True)
-    mine = REPO / "cpp" / "mcfgen"
-    if not mine.exists():
-        subprocess.run(["make", "-C", str(REPO / "cpp")], check=True,
-                       capture_output=True)
-    return ref, mine
+    return ref, mcfgen_bin
 
 
 def _parse(par: Path):
@@ -104,21 +116,60 @@ def _stats(dimacs: str, p):
 
 def _presets():
     vendored = sorted((REPO / "data" / "netgen" / "param").glob("*.par"))
-    reference = sorted(REF_PRESETS.glob("net10_32_*.par")) + sorted(
-        REF_PRESETS.glob("net10_64_*.par"))
-    # no assert here: this runs at collection time even when the module-level
-    # skipif will skip every test (reference tree not mounted)
+    reference = sorted(VENDORED_PRESETS.glob("net10_32_*.par")) + sorted(
+        VENDORED_PRESETS.glob("net10_64_*.par"))
     return [(p, p.stem) for p in vendored + reference]
+
+
+def _all_vendored_presets():
+    """Every vendored preset: the 4 repo-authored ones + the 60 reference
+    ones (data/netgen/param/reference/, provenance noted there)."""
+    repo_own = sorted((REPO / "data" / "netgen" / "param").glob("*.par"))
+    reference = sorted(VENDORED_PRESETS.glob("*.par"))
+    return [(p, p.stem) for p in repo_own + reference]
 
 
 def test_preset_sweep_is_wide_enough():
     """The fidelity sweep must span >= 10 presets (VERDICT r2 item 3's
-    done-criterion); guarded here rather than at collection time so an
-    unmounted reference tree skips instead of erroring the whole run."""
+    done-criterion), and the vendored reference set must be the full 60
+    (VERDICT r3 missing-item 4)."""
     assert len(_presets()) >= 10
+    assert len(list(VENDORED_PRESETS.glob("*.par"))) == 60
+
+
+@pytest.mark.parametrize("par,name", _all_vendored_presets(),
+                         ids=lambda x: x if isinstance(x, str) else "")
+def test_preset_structure_self_contained(mcfgen_bin, par, name):
+    """Oracle-free structural fidelity on EVERY vendored preset: the
+    generated network must satisfy the Klingman invariants implied by the
+    preset parameters alone (no reference binary needed). Mirrors the
+    structural half of the oracle comparison below; the largest presets
+    (1M arcs) are skipped under `-m 'not slow'`-style quick runs via the
+    NETGEN_FIDELITY_FAST env knob."""
+    p = _parse(par)
+    if os.environ.get("NETGEN_FIDELITY_FAST") and p["arcs"] > 200_000:
+        pytest.skip("large preset skipped in fast mode")
+    with open(par) as fin:
+        out = subprocess.run([str(mcfgen_bin), "netgen"], stdin=fin,
+                             capture_output=True, text=True, check=True)
+    m = _stats(out.stdout, p)
+    assert m["nodes"] == p["nodes"]
+    assert p["arcs"] <= m["arcs"] <= p["arcs"] + max(8, p["arcs"] // 1000)
+    assert m["supply_pos"] == p["supply"]
+    assert m["supply_neg"] == p["supply"]
+    assert m["heads_into_pure_sources"] == 0
+    assert m["tails_from_pure_sinks"] == 0
+    assert m["arcs"] - m["n_valid"] <= max(2, m["arcs"] // 100)
+    if p["hicost"] == 0:
+        assert m["cost_max"] <= p["maxcost"] - 1
+    else:
+        assert m["frac_maxcost"] > 0
+    # CAPACITATED% of arcs get finite capacities (sampling tolerance)
+    assert abs(m["frac_uncap"] - (1 - p["capacitated"] / 100)) < 0.05
 
 
 @pytest.mark.parametrize("par,name", _presets(), ids=lambda x: x if isinstance(x, str) else "")
+@needs_oracle
 def test_preset_distributions_match_reference(binaries, par, name):
     ref_bin, mine_bin = binaries
     p = _parse(par)
