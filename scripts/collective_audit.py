@@ -18,8 +18,13 @@ Recorded output lives in PERF.md "Distributed design — measured evidence".
 
 import argparse
 import json
+import os
 import sys
 import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main() -> int:
@@ -78,6 +83,34 @@ def main() -> int:
             "fused_psum_bytes": psum_step,
             "ratio": round(gather_step / psum_step, 1),
         },
+    }))
+
+    # --- 1b. df sharded design at 8 devices, lowered-StableHLO level ---
+    # (no XLA compile: the interpret-mode df kernels' CPU compile explodes
+    # superlinearly past 4 devices — lowering alone is seconds and the
+    # collective structure is already final at StableHLO)
+    from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+        DFShardedFusedKKTSolver,
+    )
+    from two_pass_lanczos_tpu.utils.collectives import collectives_in_stablehlo
+
+    inst_df = generate_mcf_instance(min(args.arcs, 20_000), rho=args.rho,
+                                    instance_id=1)
+    sdf = DFShardedFusedKKTSolver(inst_df.quad_costs, inst_df.arc_u,
+                                  inst_df.arc_v, inst_df.num_nodes, mesh8,
+                                  interpret=True)
+    bdf = rng.standard_normal(sdf.n)
+    xu, xv, xn = sdf.pack(bdf)
+    txt_df = sdf._p1(args.k).lower(sdf._arrs + sdf._wins, xu, xv, xn).as_text()
+    df_ops = [vars(o) | {"bytes_out": o.bytes_out}
+              for o in collectives_in_stablehlo(txt_df)]
+    print(json.dumps({
+        "df_sharded_8dev_lowered": df_ops,
+        "df_invariant": "all-gather only (df partials folded locally in "
+                        "device order); an all-reduce here would re-round "
+                        "df to f32",
+        "df_all_reduce_count": sum(o["count"] for o in df_ops
+                                   if o["kind"] == "all-reduce"),
     }))
 
     # --- 2. nnz balance ---

@@ -173,6 +173,56 @@ def test_generic_matvec_overlaps_halo_with_owned_spmv(mesh8, inst):
     assert scatter_taint[1] is True, "remote part must consume the gather"
 
 
+def test_df_sharded_8dev_collectives_lower_only(mesh8):
+    """VERDICT r3 item 9: the double-float sharded solver's collective
+    pattern at the FULL 8-device mesh, audited at the lowered-StableHLO
+    level (no XLA compile — the interpret-mode df kernels' CPU compile
+    explodes superlinearly past 4 devices, so execution tests stop at 4;
+    this pins the 8-way structure those tests can't reach).
+
+    The df invariant: NO all-reduce anywhere (a plain f32 psum of df
+    partials would re-round to f32 and destroy the ~2^-49 working
+    precision) — every cross-device reduction is an all-gather of tiny
+    partials over the full 8-device group, folded locally in device order:
+    per matvec one (8, P2, 128) gather per df plane (hi + lo), per dot one
+    (8,) scalar gather per plane.
+    """
+    from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+        DFShardedFusedKKTSolver)
+    from two_pass_lanczos_tpu.utils.collectives import collectives_in_stablehlo
+
+    small = generate_mcf_instance(2000, rho=3, instance_id=1)
+    s = DFShardedFusedKKTSolver(
+        small.quad_costs, small.arc_u, small.arc_v, small.num_nodes,
+        mesh8, interpret=True)
+    b = np.random.default_rng(0).standard_normal(s.n)
+    xu, xv, xn = s.pack(b)
+    k = 4
+    txt1 = s._p1(k).lower(s._arrs + s._wins, xu, xv, xn).as_text()
+
+    ops1 = collectives_in_stablehlo(txt1)
+    assert ops1, "no collectives found — parser or lowering regressed"
+    assert all(o.kind == "all-gather" for o in ops1), ops1
+    # node-partial gathers: full-group, one per df plane, (8, P2, 128)
+    node = [o for o in ops1 if o.shape == (8, s.P2, 128)]
+    assert node and all(o.dtype == "f32" for o in node), ops1
+    # scalar dot-partial gathers: (8,) f32
+    scalar = [o for o in ops1 if o.shape == (8,)]
+    assert scalar and all(o.dtype == "f32" for o in scalar), ops1
+    assert not [o for o in ops1 if o.kind == "all-reduce"], ops1
+
+    # pass two: same invariant (matvec node gathers only; y is replicated)
+    steps = jnp_steps = np.asarray(k, np.int32)
+    ah = al = bh = bl = np.zeros(k, np.float32)
+    bn2 = np.zeros(2, np.float32)
+    y2 = np.zeros((2, k), np.float32)
+    txt2 = s._p2(k).lower(s._arrs + s._wins, xu, xv, xn, ah, al, bh, bl,
+                          jnp_steps, bn2, y2).as_text()
+    ops2 = collectives_in_stablehlo(txt2)
+    assert ops2 and all(o.kind == "all-gather" for o in ops2), ops2
+    assert not [o for o in ops2 if o.kind == "all-reduce"], ops2
+
+
 def test_generic_split_matvec_matches_dense(mesh8, inst):
     """Owned+remote split must reproduce the full SpMV exactly (same
     triplets, two scatter-adds instead of one)."""

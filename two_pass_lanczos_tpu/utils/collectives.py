@@ -19,7 +19,8 @@ import dataclasses
 import re
 from typing import List
 
-__all__ = ["CollectiveOp", "collectives_in_hlo", "collective_bytes"]
+__all__ = ["CollectiveOp", "collectives_in_hlo", "collectives_in_stablehlo",
+           "collective_bytes"]
 
 _COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
                 "collective-permute", "all-to-all")
@@ -64,6 +65,54 @@ def collectives_in_hlo(hlo_text: str) -> List[CollectiveOp]:
                 found[key] = found.get(key, 0) + 1
     return [CollectiveOp(kind=k, dtype=d, shape=s, count=c)
             for (k, d, s), c in sorted(found.items())]
+
+
+_STABLEHLO_COLLECTIVES = ("all_gather", "all_reduce", "reduce_scatter",
+                          "collective_permute", "all_to_all")
+_STABLEHLO_DTYPES = {"f32": "f32", "f64": "f64", "bf16": "bf16", "f16": "f16",
+                     "i32": "s32", "i64": "s64", "i16": "s16", "i8": "s8",
+                     "i1": "pred", "ui32": "u32"}
+_STABLEHLO_RE = re.compile(
+    r'"stablehlo\.(\w+)"[^\n]*?->\s*tensor<([0-9x]*)(\w+)>')
+_GROUPS_RE = re.compile(r"replica_groups\s*=\s*dense<\[\[([^\]]*)\]")
+
+
+def collectives_in_stablehlo(stablehlo_text: str) -> List[CollectiveOp]:
+    """Parse collective ops out of LOWERED (pre-compile) StableHLO text —
+    `jitted.lower(...).as_text()`. Lowering skips the XLA backend compile
+    entirely, which is what makes an 8-device audit of the interpret-mode
+    double-float sharded kernels tractable (their XLA-CPU *compile*
+    explodes superlinearly past 4 devices — `__graft_entry__.py`).
+
+    The `shape` reported is the op's RESULT tensor shape (post-gather:
+    leading axis = device count for an all_gather over the full group);
+    counts aggregate identical (kind, dtype, shape) instances. Collectives
+    inside a `stablehlo.while` body appear once per static call site, so
+    counts map to per-step traffic exactly like `collectives_in_hlo`.
+    """
+    found = {}
+    for line in stablehlo_text.splitlines():
+        names = [c for c in _STABLEHLO_COLLECTIVES
+                 if f'"stablehlo.{c}"' in line]
+        if not names:
+            continue
+        m = _STABLEHLO_RE.search(line)
+        if m and m.group(1) in _STABLEHLO_COLLECTIVES:
+            kind = m.group(1).replace("_", "-")
+            shape = tuple(int(x) for x in m.group(2).split("x") if x)
+            dtype = _STABLEHLO_DTYPES.get(m.group(3), m.group(3))
+        else:
+            # region-carrying form (e.g. all_reduce): result type lands on
+            # a later line — still record the op so "none of kind X"
+            # assertions cannot silently pass on a parse miss
+            kind = names[0].replace("_", "-")
+            shape, dtype = (), "unknown"
+        gm = _GROUPS_RE.search(line)
+        group = len(gm.group(1).split(",")) if gm else 0
+        key = (kind, dtype, shape, group)
+        found[key] = found.get(key, 0) + 1
+    return [CollectiveOp(kind=k, dtype=d, shape=s, count=c)
+            for (k, d, s, _g), c in sorted(found.items())]
 
 
 def collective_bytes(ops: List[CollectiveOp], kinds=None) -> int:
