@@ -17,6 +17,14 @@ worker command on every host with ``--backend tpu`` and the coordinator
 address of host 0 — nothing else changes (`jax.distributed.initialize` +
 ``make_array_from_callback`` handle per-host shard materialization).
 
+Designs: ``fused`` (arc-sharded f32, O(p) psum/step), ``generic`` (row
+partition, O(n) all-gather/step), ``df`` (arc-sharded double-float,
+all-gather + local df fold/step; on the CPU backend it is auto-dropped for
+meshes over 4 total devices — the interpret-mode XLA-CPU compile explodes
+superlinearly there, a backend artifact the TPU Mosaic compile doesn't
+share). ``--output`` additionally writes the records to a JSON artifact
+(the committed one lives at ``results/scaling_virtual.json``).
+
 Usage (virtual, what CI runs):
 
     python scripts/scaling_bench.py --processes 1 2 --arcs 100000 --k 50
@@ -123,6 +131,32 @@ def worker(args) -> int:
     out["generic"] = dict(seconds_per_step=t_gen / (2 * args.k),
                           nnz_per_s=nnz * 2 * args.k / t_gen)
 
+    # design 3 (opt-in): double-float arc-sharded (all-gather + local df
+    # fold per step). Interpret-mode XLA-CPU compile explodes superlinearly
+    # past 4 total devices, so the orchestrator only requests it on meshes
+    # of <= 4 devices (a real pod has no such limit: the kernels compile
+    # through Mosaic there).
+    if "df" in args.designs:
+        from two_pass_lanczos_tpu.parallel.fused_sharded_df import (
+            DFShardedFusedKKTSolver,
+        )
+
+        sdf = DFShardedFusedKKTSolver(
+            inst.quad_costs, inst.arc_u, inst.arc_v, p, mesh,
+            interpret=interpret)
+        b64 = b.astype(np.float64)
+
+        def run_df():
+            (xu2, xn2), (_, _, steps) = sdf.solve(b64, k=args.k, f="inv",
+                                                  raw=True)
+            assert steps > 0
+            float(np.asarray(xn2).sum())  # forced readback (replicated)
+            return xn2
+
+        t_df = timed(run_df)
+        out["df"] = dict(seconds_per_step=t_df / (2 * args.k),
+                         nnz_per_s=nnz * 2 * args.k / t_df)
+
     if args.process_id == 0 or args.num_processes == 1:
         print("SCALING_RESULT " + json.dumps(
             dict(ndev=ndev, nproc=max(args.num_processes, 1),
@@ -135,6 +169,11 @@ def worker(args) -> int:
 def orchestrate(args) -> int:
     results = {}
     for nproc in args.processes:
+        # interpret-mode df compile explodes past 4 total devices; on a
+        # real TPU backend the Mosaic compile has no such wall
+        designs = [d for d in args.designs
+                   if not (d == "df" and args.backend == "cpu"
+                           and nproc * args.devices_per_process > 4)]
         if nproc == 1:
             cmd = [sys.executable, __file__, "--process-id", "0",
                    "--num-processes", "1"]
@@ -152,6 +191,7 @@ def orchestrate(args) -> int:
                      str(args.devices_per_process),
                      "--arcs", str(args.arcs), "--k", str(args.k),
                      "--reps", str(args.reps),
+                     "--designs", *designs,
                      "--backend", args.backend],
                     stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                     text=True, env=_env(args.backend)))
@@ -160,6 +200,7 @@ def orchestrate(args) -> int:
                 cmd + ["--arcs", str(args.arcs), "--k", str(args.k),
                        "--reps", str(args.reps),
                        "--backend", args.backend,
+                       "--designs", *designs,
                        "--devices-per-process",
                        str(args.devices_per_process)],
                 capture_output=True, text=True, env=_env(args.backend))
@@ -183,26 +224,44 @@ def orchestrate(args) -> int:
                     results[nproc] = json.loads(line.split(" ", 1)[1])
     base = results.get(min(results))
     meaningful = any(r.get("backend") == "tpu" for r in results.values())
+    records = []
     for nproc in sorted(results):
         r = results[nproc]
-        for design in ("fused", "generic"):
+        for design in args.designs:
+            if design not in r:
+                continue
             d = r[design]
-            base_rate = base[design]["nnz_per_s"] if base else None
+            base_rate = (base[design]["nnz_per_s"]
+                         if base and design in base else None)
             eff = (d["nnz_per_s"] / (base_rate * nproc / min(results))
                    if base_rate else None)
-            print(json.dumps({
+            records.append({
                 "metric": f"scaling_{design}_nproc{nproc}",
                 "seconds_per_step": round(d["seconds_per_step"], 7),
                 "nnz_per_s": round(d["nnz_per_s"], 1),
                 "efficiency_vs_1proc": round(eff, 4) if eff else None,
                 "arcs": args.arcs, "k": args.k, "ndev": r["ndev"],
                 "meaningful": meaningful,
-            }))
+            })
+    for rec in records:
+        print(json.dumps(rec))
     if not meaningful:
-        print(json.dumps({
+        note = {
             "note": "CPU virtual mesh: correctness-grade only — collectives"
                     " are memcpys; run with --backend tpu on a pod for the"
-                    " >=80% BASELINE efficiency measurement"}))
+                    " >=80% BASELINE efficiency measurement"}
+        print(json.dumps(note))
+        records.append(note)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({
+                "command": " ".join(sys.argv),
+                "host": {"physical_cores": os.cpu_count(),
+                         "backend": args.backend,
+                         "devices_per_process": args.devices_per_process},
+                "records": records,
+            }, f, indent=1)
+            f.write("\n")
     return 0
 
 
@@ -217,6 +276,10 @@ def main() -> int:
     ap.add_argument("--arcs", type=int, default=100_000)
     ap.add_argument("--k", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--designs", nargs="+", default=["fused", "generic"],
+                    choices=["fused", "generic", "df"])
+    ap.add_argument("--output", default=None,
+                    help="also write the orchestrator's JSON records here")
     ap.add_argument("--port", type=int, default=8476)
     ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()

@@ -180,60 +180,108 @@ class ShardedFusedKKTSolver:
             p2=self.P2, wg_u=self.wg_u, wg_v=self.wg_v,
             interpret=self.interpret)
 
+    def _shard_helpers(self, arrs, wins):
+        """The per-shard matvec + dot closures — the collective structure of
+        every pass (monolithic, chunked, one-pass) comes from here, so all
+        variants replay the identical FP sequence."""
+        axis = self.axis
+
+        def matvec(xu, xv, xn):
+            yu, yv, s_local = self._local_matvec_call(arrs, wins, xu, xv, xn)
+            # the ONLY O(p) communication: reduce node partials
+            yn = lax.psum(s_local, axis)
+            return yu, yv, yn
+
+        def dot(au, an, bu_, bn_):
+            # arc part: each arc on exactly one device -> psum;
+            # node part: replicated, identical everywhere -> no collective
+            return lax.psum(jnp.sum(au * bu_), axis) + jnp.sum(an * bn_)
+
+        return matvec, dot
+
+    def _init_v1(self, dot, bu, bv, bn):
+        nb2 = dot(bu, bn, bu, bn)
+        b_norm = jnp.sqrt(nb2)
+        zero_b = b_norm <= self.ztol
+        inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
+        v1 = (bu * inv_n, bv * inv_n, bn * inv_n)
+        return v1, b_norm, zero_b
+
+    def _mk_p1_step(self, matvec, dot, emit_basis: bool = False):
+        tol = self.tol
+
+        def p1_step(carry, _):
+            (vp, vc, beta_prev, done, steps) = carry
+            executed = jnp.logical_not(done)
+            w = matvec(*vc)
+            w = tuple(wi - beta_prev * vpi for wi, vpi in zip(w, vp))
+            alpha = dot(vc[0], vc[2], w[0], w[2])
+            w = tuple(wi - alpha * vci for wi, vci in zip(w, vc))
+            beta = jnp.sqrt(dot(w[0], w[2], w[0], w[2]))
+            breakdown = beta <= tol
+            advance = jnp.logical_and(executed,
+                                      jnp.logical_not(breakdown))
+            alpha_out = jnp.where(executed, alpha, 0.0)
+            beta_out = jnp.where(advance, beta, 0.0)
+            inv_b = jnp.where(advance, 1.0 / beta, 0.0)
+            v_next = tuple(wi * inv_b for wi in w)
+            sel = lambda a, b_: jnp.where(advance, a, b_)
+            new = (tuple(sel(c, p_) for c, p_ in zip(vc, vp)),
+                   tuple(sel(nn, c) for nn, c in zip(v_next, vc)),
+                   jnp.where(advance, beta, beta_prev),
+                   jnp.logical_or(done, breakdown),
+                   steps + executed.astype(jnp.int32))
+            outs = (alpha_out, beta_out)
+            if emit_basis:
+                # basis row j = the v_j this step consumed (v1..vk); masked
+                # rows past breakdown stay zero, like lanczos.rs:135-145
+                e = executed.astype(jnp.float32)
+                outs = outs + (vc[0] * e, vc[2] * e)
+            return new, outs
+
+        return p1_step
+
+    def _mk_p2_step(self, matvec, steps):
+        def p2_step(carry, xs):
+            vp, vc, x_acc = carry
+            alpha_j, bp, bj, y_next, j = xs
+            active = j < steps - 1
+            w = matvec(*vc)
+            w = tuple(wi - bp * vpi - alpha_j * vci
+                      for wi, vpi, vci in zip(w, vp, vc))
+            inv_b = jnp.where(
+                active, 1.0 / jnp.where(bj > 0, bj, 1.0), 0.0)
+            v_next = tuple(wi * inv_b for wi in w)
+            x_acc = (x_acc[0] + y_next * v_next[0],
+                     x_acc[1] + y_next * v_next[2])
+            sel = lambda a, b_: jnp.where(active, a, b_)
+            vp_n = tuple(sel(c, p_) for c, p_ in zip(vc, vp))
+            vc_n = tuple(sel(nn, c) for nn, c in zip(v_next, vc))
+            return (vp_n, vc_n, x_acc), None
+
+        return p2_step
+
     def _build_solve(self, k: int, f, method: str):
-        axis, tol, ztol = self.axis, self.tol, self.ztol
+        if method not in ("two_pass", "one_pass"):
+            raise ValueError("method must be 'two_pass' or 'one_pass'")
+        axis = self.axis
+        one_pass = method == "one_pass"
 
         def run(arrs_and_wins, bu, bv, bn):
             arrs, wins = arrs_and_wins[:8], arrs_and_wins[8:]
             arrs = tuple(a[0] for a in arrs)  # strip sharded leading dim
             wins = tuple(w[0] for w in wins)
             bu, bv = bu[0], bv[0]
+            matvec, dot = self._shard_helpers(arrs, wins)
 
-            def matvec(xu, xv, xn):
-                yu, yv, s_local = self._local_matvec_call(
-                    arrs, wins, xu, xv, xn)
-                # the ONLY O(p) communication: reduce node partials
-                yn = lax.psum(s_local, axis)
-                return yu, yv, yn
-
-            def dot(au, an, bu_, bn_):
-                # arc part: each arc on exactly one device -> psum;
-                # node part: replicated, identical everywhere -> no collective
-                return lax.psum(jnp.sum(au * bu_), axis) + jnp.sum(an * bn_)
-
-            nb2 = dot(bu, bn, bu, bn)
-            b_norm = jnp.sqrt(nb2)
-            zero_b = b_norm <= ztol
-            inv_n = jnp.where(zero_b, 0.0, 1.0 / b_norm)
-            v1 = (bu * inv_n, bv * inv_n, bn * inv_n)
+            v1, b_norm, zero_b = self._init_v1(dot, bu, bv, bn)
             zeros = tuple(jnp.zeros_like(c) for c in v1)
 
-            def p1_step(carry, _):
-                (vp, vc, beta_prev, done, steps) = carry
-                executed = jnp.logical_not(done)
-                w = matvec(*vc)
-                w = tuple(wi - beta_prev * vpi for wi, vpi in zip(w, vp))
-                alpha = dot(vc[0], vc[2], w[0], w[2])
-                w = tuple(wi - alpha * vci for wi, vci in zip(w, vc))
-                beta = jnp.sqrt(dot(w[0], w[2], w[0], w[2]))
-                breakdown = beta <= tol
-                advance = jnp.logical_and(executed,
-                                          jnp.logical_not(breakdown))
-                alpha_out = jnp.where(executed, alpha, 0.0)
-                beta_out = jnp.where(advance, beta, 0.0)
-                inv_b = jnp.where(advance, 1.0 / beta, 0.0)
-                v_next = tuple(wi * inv_b for wi in w)
-                sel = lambda a, b_: jnp.where(advance, a, b_)
-                new = (tuple(sel(c, p_) for c, p_ in zip(vc, vp)),
-                       tuple(sel(nn, c) for nn, c in zip(v_next, vc)),
-                       jnp.where(advance, beta, beta_prev),
-                       jnp.logical_or(done, breakdown),
-                       steps + executed.astype(jnp.int32))
-                return new, (alpha_out, beta_out)
-
+            p1_step = self._mk_p1_step(matvec, dot, emit_basis=one_pass)
             carry0 = (zeros, v1, jnp.float32(0.0), zero_b,
                       jnp.zeros((), jnp.int32))
-            carry, (alphas, betas) = lax.scan(p1_step, carry0, None, length=k)
+            carry, outs = lax.scan(p1_step, carry0, None, length=k)
+            alphas, betas = outs[0], outs[1]
             steps = carry[4]
             decomp = LanczosDecomposition(
                 alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
@@ -242,38 +290,26 @@ class ShardedFusedKKTSolver:
             y_full = jnp.where(jnp.arange(k) < steps,
                                y.astype(jnp.float32) * b_norm, 0.0)
 
+            if one_pass:
+                # x = V_k·y: the per-device basis slab lives in HBM as the
+                # scan's stacked outputs; one memory-bound contraction,
+                # like the reference's final GEMV (src/solvers.rs:96-104)
+                basis_u, basis_n = outs[2], outs[3]
+                x_u = jnp.einsum("krl,k->rl", basis_u, y_full)
+                x_n = jnp.einsum("krl,k->rl", basis_n, y_full)
+                return x_u[None], x_n, alphas, betas, steps, b_norm
+
             # pass two: stored-beta replay (same collective structure)
             x0 = (y_full[0] * v1[0], y_full[0] * v1[2])
-
             beta_prevs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32), betas[:-1]])
-
-            def p2_step(carry, xs):
-                vp, vc, x_acc = carry
-                alpha_j, bp, bj, y_next, j = xs
-                active = j < steps - 1
-                w = matvec(*vc)
-                w = tuple(wi - bp * vpi - alpha_j * vci
-                          for wi, vpi, vci in zip(w, vp, vc))
-                inv_b = jnp.where(
-                    active, 1.0 / jnp.where(bj > 0, bj, 1.0), 0.0)
-                v_next = tuple(wi * inv_b for wi in w)
-                x_acc = (x_acc[0] + y_next * v_next[0],
-                         x_acc[1] + y_next * v_next[2])
-                sel = lambda a, b_: jnp.where(active, a, b_)
-                vp_n = tuple(sel(c, p_) for c, p_ in zip(vc, vp))
-                vc_n = tuple(sel(nn, c) for nn, c in zip(v_next, vc))
-                return (vp_n, vc_n, x_acc), None
-
-            if method == "two_pass" and k > 1:
+            p2_step = self._mk_p2_step(matvec, steps)
+            if k > 1:
                 xs = (alphas[: k - 1], beta_prevs[: k - 1], betas[: k - 1],
                       y_full[1:], jnp.arange(k - 1))
                 (_, _, x_acc), _ = lax.scan(p2_step, (zeros, v1, x0), xs)
-            elif method == "two_pass":
-                x_acc = x0
             else:
-                raise ValueError(
-                    "sharded fused solver implements method='two_pass'")
+                x_acc = x0
             return x_acc[0][None], x_acc[1], alphas, betas, steps, b_norm
 
         shmapped = jax.shard_map(
@@ -292,20 +328,234 @@ class ShardedFusedKKTSolver:
             self._solve_cache[key] = self._build_solve(k, f, method)
         return self._solve_cache[key]
 
+    # -- chunked pass one (live early-stop callback) --------------------
+
+    def one_pass_basis_bytes(self, k: int) -> int:
+        """Per-device HBM bytes of the one-pass basis slab."""
+        return k * (self.R + self.P2) * LANE * 4
+
+    #: per-device HBM admission for the one-pass basis (v5e has 16 GB;
+    #: leave room for the arc planes + XLA workspace)
+    ONE_PASS_HBM_BUDGET = 12 * 2**30
+
+    def _build_p1_init(self):
+        axis = self.axis
+
+        def run(bu, bv, bn):
+            bu, bv = bu[0], bv[0]
+
+            def dot(au, an, bu_, bn_):
+                return lax.psum(jnp.sum(au * bu_), axis) + jnp.sum(an * bn_)
+
+            v1, b_norm, zero_b = self._init_v1(dot, bu, bv, bn)
+            zeros = tuple(jnp.zeros_like(c) for c in v1)
+            return (zeros[0][None], zeros[1][None], zeros[2],
+                    v1[0][None], v1[1][None], v1[2],
+                    jnp.float32(0.0), zero_b, jnp.zeros((), jnp.int32),
+                    b_norm)
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P()),
+            out_specs=(P(self.axis), P(self.axis), P(),
+                       P(self.axis), P(self.axis), P(),
+                       P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def _build_p1_chunk(self, chunk: int):
+        def run(arrs_and_wins, vpu, vpv, vpn, vcu, vcv, vcn,
+                beta_prev, done, steps):
+            arrs = tuple(a[0] for a in arrs_and_wins[:8])
+            wins = tuple(w[0] for w in arrs_and_wins[8:])
+            matvec, dot = self._shard_helpers(arrs, wins)
+            step = self._mk_p1_step(matvec, dot)
+            carry0 = ((vpu[0], vpv[0], vpn), (vcu[0], vcv[0], vcn),
+                      beta_prev, done, steps)
+            carry, (alphas, betas) = lax.scan(step, carry0, None,
+                                              length=chunk)
+            vp, vc, bp, dn, st = carry
+            return (vp[0][None], vp[1][None], vp[2],
+                    vc[0][None], vc[1][None], vc[2],
+                    bp, dn, st, alphas, betas)
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(tuple([P(self.axis)] * 10),
+                      P(self.axis), P(self.axis), P(),
+                      P(self.axis), P(self.axis), P(), P(), P(), P()),
+            out_specs=(P(self.axis), P(self.axis), P(),
+                       P(self.axis), P(self.axis), P(),
+                       P(), P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def _build_p2_finish(self, k: int, k2: int, f):
+        """Pass two compiled at scan length ``k2`` (= the stop point): an
+        early stop at step s pays exactly s pass-two matvecs per device,
+        not k (the single-chip finish keeps length k; here the compile is
+        per-(k2) because the shortened scan is the whole point)."""
+
+        def run(arrs_and_wins, bu, bv, bn, alphas, betas, steps, b_norm):
+            arrs = tuple(a[0] for a in arrs_and_wins[:8])
+            wins = tuple(w[0] for w in arrs_and_wins[8:])
+            bu, bv = bu[0], bv[0]
+            matvec, dot = self._shard_helpers(arrs, wins)
+            v1, _, _ = self._init_v1(dot, bu, bv, bn)
+            zeros = tuple(jnp.zeros_like(c) for c in v1)
+
+            decomp = LanczosDecomposition(
+                alphas=alphas, betas=betas, steps_taken=steps,
+                b_norm=b_norm)
+            y = padded_f_e1(decomp, f)
+            y_full = jnp.where(jnp.arange(k) < steps,
+                               y.astype(jnp.float32) * b_norm, 0.0)
+            x0 = (y_full[0] * v1[0], y_full[0] * v1[2])
+            beta_prevs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32), betas[:-1]])
+            p2_step = self._mk_p2_step(matvec, steps)
+            if k2 > 1:
+                xs = (alphas[: k2 - 1], beta_prevs[: k2 - 1],
+                      betas[: k2 - 1], y_full[1:k2], jnp.arange(k2 - 1))
+                (_, _, x_acc), _ = lax.scan(p2_step, (zeros, v1, x0), xs)
+            else:
+                x_acc = x0
+            return x_acc[0][None], x_acc[1]
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(tuple([P(self.axis)] * 10),
+                      P(self.axis), P(self.axis), P(),
+                      P(), P(), P(), P()),
+            out_specs=(P(self.axis), P()),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def pass_one_chunked(self, packed, k: int, callback=None,
+                         chunk: int = 16):
+        """Pass one over the mesh with a live per-iteration callback — the
+        reference's in-loop ``LanczosCallback`` break-out
+        (``src/algorithms/mod.rs:69-86``, ``lanczos.rs:93-113``) on the
+        distributed path.
+
+        ``packed`` is the ``pack(b)`` triple. Runs ceil(k/chunk) compiled
+        chunk launches (each a ``chunk``-step ``lax.scan`` over the same
+        step closure as the monolithic solver); between launches the
+        replicated (α, β, steps) are read back on the host and
+        ``callback(s, None, (alphas[:s], betas[:s-1]))`` is replayed per
+        iteration. A stop at step s costs at most ceil(s/chunk)·chunk
+        matvecs per device. Returns ``(decomposition, stopped)``.
+        """
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        bu, bv, bn = packed
+        if "p1_init" not in self._solve_cache:
+            self._solve_cache["p1_init"] = self._build_p1_init()
+        state = self._solve_cache["p1_init"](bu, bv, bn)
+        (vpu, vpv, vpn, vcu, vcv, vcn, bp, done, steps_a, b_norm) = state
+        alphas = np.zeros(k, np.float32)
+        betas = np.zeros(k, np.float32)
+        visited = 0
+        stopped = False
+        self._last_p1_launches = 0
+        remaining = k
+        while remaining > 0:
+            c = min(chunk, remaining)
+            key = ("p1_chunk", c)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_p1_chunk(c)
+            (vpu, vpv, vpn, vcu, vcv, vcn, bp, done, steps_a,
+             a_c, b_c) = self._solve_cache[key](
+                self._arrs + self._wins, vpu, vpv, vpn, vcu, vcv, vcn,
+                bp, done, steps_a)
+            self._last_p1_launches += 1
+            remaining -= c
+            steps_now = int(np.asarray(steps_a))
+            got = steps_now - visited
+            if got > 0:
+                alphas[visited:steps_now] = np.asarray(a_c)[:got]
+                betas[visited:steps_now] = np.asarray(b_c)[:got]
+            if callback is not None:
+                for s in range(visited + 1, steps_now + 1):
+                    if not callback(s, None, (alphas[:s], betas[: s - 1])):
+                        visited = s
+                        stopped = True
+                        break
+                else:
+                    visited = steps_now
+            else:
+                visited = steps_now
+            if stopped or bool(np.asarray(done)) or steps_now >= k:
+                break
+        steps = visited
+        # truncate to the stop point (early-stop semantics zero from
+        # steps-1; a full/breakdown run keeps the residual β at steps-1)
+        alphas[steps:] = 0.0
+        betas[max(steps - 1, 0) if stopped else steps:] = 0.0
+        decomp = LanczosDecomposition(
+            alphas=jnp.asarray(alphas), betas=jnp.asarray(betas),
+            steps_taken=jnp.asarray(steps, jnp.int32),
+            b_norm=jnp.asarray(b_norm))
+        return decomp, stopped
+
     # ------------------------------------------------------------------
     def solve(self, b, *, k: int, f="inv", method: str = "two_pass",
-              raw: bool = False):
-        """Distributed two-pass f(A)·b. Returns ``(x, decomposition)`` with
-        ``x`` a NumPy (n,) array in the original ordering, or — with
-        ``raw=True`` — the device pair ``(xu (D,R,128) sharded, xn (P2,128)
-        replicated)``. Multi-host runs must use ``raw=True`` (the unpacked
-        form requires every shard to be process-addressable); the
-        decomposition is replicated and therefore host-readable everywhere."""
-        bu, bv, bn = self.pack(b)
-        xu, xn, alphas, betas, steps, b_norm = self._solver(k, f, method)(
-            self._arrs + self._wins, bu, bv, bn)
-        decomp = LanczosDecomposition(
-            alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
+              raw: bool = False, callback=None, callback_chunk: int = 16):
+        """Distributed f(A)·b, ``method`` ∈ {"two_pass", "one_pass"}.
+
+        Returns ``(x, decomposition)`` with ``x`` a NumPy (n,) array in the
+        original ordering, or — with ``raw=True`` — the device pair
+        ``(xu (D,R,128) sharded, xn (P2,128) replicated)``. Multi-host runs
+        must use ``raw=True`` (the unpacked form requires every shard to be
+        process-addressable); the decomposition is replicated and therefore
+        host-readable everywhere.
+
+        ``method="one_pass"`` stores the per-device basis slab in HBM
+        (k·(R+P2)·128·4 bytes per device — admission-checked against
+        ``ONE_PASS_HBM_BUDGET``) and contracts x = V_k·y, covering the
+        reference's standard-Lanczos capability beyond the single-chip
+        resident cap (``src/solvers.rs:46``).
+
+        ``callback`` (two_pass only) enables in-run early stopping: pass
+        one runs via :meth:`pass_one_chunked` in ``callback_chunk``-step
+        launches; a stop at step s runs a pass two compiled at scan length
+        s, so the whole solve pays ceil(s/chunk)·chunk + s matvecs per
+        device instead of 2k.
+        """
+        if method == "one_pass":
+            need = self.one_pass_basis_bytes(k)
+            if need > self.ONE_PASS_HBM_BUDGET:
+                raise ValueError(
+                    f"one-pass basis slab needs {need} bytes of HBM per "
+                    f"device (k={k}, R={self.R}), over the "
+                    f"{self.ONE_PASS_HBM_BUDGET}-byte admission budget; "
+                    "use method='two_pass' (O(R) memory) or more devices")
+        packed = self.pack(b)
+        if callback is not None:
+            if method != "two_pass":
+                raise ValueError(
+                    "callback early stopping is implemented for the "
+                    "two_pass method")
+            decomp, _stopped = self.pass_one_chunked(
+                packed, k, callback=callback, chunk=callback_chunk)
+            steps = int(np.asarray(decomp.steps_taken))
+            k2 = max(steps, 1)
+            self._last_p2_len = k2
+            key = ("p2_finish", k, k2, f)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_p2_finish(k, k2, f)
+            bu, bv, bn = packed
+            xu, xn = self._solve_cache[key](
+                self._arrs + self._wins, bu, bv, bn,
+                decomp.alphas, decomp.betas, decomp.steps_taken,
+                decomp.b_norm)
+        else:
+            bu, bv, bn = packed
+            xu, xn, alphas, betas, steps, b_norm = self._solver(
+                k, f, method)(self._arrs + self._wins, bu, bv, bn)
+            decomp = LanczosDecomposition(
+                alphas=alphas, betas=betas, steps_taken=steps,
+                b_norm=b_norm)
         if raw:
             return (xu, xn), decomp
         return self.unpack(xu, xn), decomp

@@ -338,12 +338,19 @@ class DFShardedFusedKKTSolver:
         return self._jits[key]
 
     # ------------------------------------------------------------------
-    def solve(self, b, *, k: int, f="inv"):
+    def solve(self, b, *, k: int, f="inv", raw: bool = False):
         """Distributed df two-pass f(A)·b; x returned as f64.
 
         Returns ``(x, (alphas_f64, betas_f64, steps))``. One mid-solve
         device round trip each way: the (α, β) readback for the host f64
         projected solve and the y upload (like the single-chip df solver).
+
+        ``raw=True`` returns the device-resident layout pair
+        ``((xu2, xn2), (alphas, betas, steps))`` instead of the unpacked
+        host f64 vector — required under multi-process ``jax.distributed``
+        where ``xu2`` spans non-addressable devices (the scalar/coefficient
+        outputs are replicated, so the α/β readback still works on every
+        process).
         """
         from two_pass_lanczos_tpu.functions import host_f_tk_solve
 
@@ -354,6 +361,8 @@ class DFShardedFusedKKTSolver:
         a64 = np.asarray(ah, np.float64) + np.asarray(al, np.float64)
         b64 = np.asarray(bh, np.float64) + np.asarray(bl, np.float64)
         if steps == 0:
+            if raw:
+                return None, (a64[:0], b64[:0], 0)
             return np.zeros(self.n), (a64[:0], b64[:0], 0)
         y = host_f_tk_solve(a64[:steps], b64[: steps - 1], f)
         bn = np.asarray(bn2, np.float64)
@@ -365,7 +374,10 @@ class DFShardedFusedKKTSolver:
         xu2, xn2 = self._p2(k)(
             self._arrs + self._wins, xu, xv, xn,
             ah, al, bh, bl, steps_arr, bn2, y2)
-        return self.unpack64(xu2, xn2), (a64[:steps], b64[: steps - 1], steps)
+        coeffs = (a64[:steps], b64[: steps - 1], steps)
+        if raw:
+            return (xu2, xn2), coeffs
+        return self.unpack64(xu2, xn2), coeffs
 
 
 # -- df helpers on stacked (2, ...) pairs -----------------------------------
