@@ -69,6 +69,7 @@ for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")
   $RUN two_pass_lanczos_tpu.experiments.tradeoff \
     --arcs $arcs --rho 3 --k-start 50 --k-end 1000 --k-step 50 \
+    --isolate --repeats 5 \
     --output "$OUT/tradeoff_arcs${name}_rho3.csv"
 done
 
@@ -81,10 +82,12 @@ $RUN two_pass_lanczos_tpu.experiments.stability \
 
 $RUN two_pass_lanczos_tpu.experiments.scalability \
   --arcs-start 50000 --arcs-end 500000 --arcs-step 50000 --rho 3 --k 500 \
+  --isolate --repeats 5 \
   --output "$OUT/scalability_k500_rho3.csv"
 
 $RUN two_pass_lanczos_tpu.experiments.dense_tradeoff \
   --size 10000 --k-start 100 --k-end 1000 --k-step 100 \
+  --isolate --repeats 5 \
   --output "$OUT/dense_tradeoff.csv"
 
 echo "all results written to $OUT/"

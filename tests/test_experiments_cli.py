@@ -1,0 +1,61 @@
+"""Experiment-CLI plumbing: the median-of-N timing knob and the
+per-(variant,k) process isolation added for the published-artifact fixes
+(VERDICT r3 items 6 and 8).
+"""
+
+import csv
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_timed_solve_repeats():
+    import jax.numpy as jnp
+
+    from two_pass_lanczos_tpu.experiments.common import SolveSeconds, timed_solve
+
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return jnp.ones(8)
+
+    out, dt = timed_solve(fn, repeats=5)
+    assert len(calls) == 5
+    assert isinstance(dt, SolveSeconds)
+    assert len(dt.samples) == 5
+    assert dt.min_s <= float(dt) <= max(dt.samples)
+    assert float(dt) == float(np.median(dt.samples))
+    # repeats=1 (every legacy call site) still yields the float-compatible
+    # single sample
+    _, dt1 = timed_solve(fn)
+    assert len(dt1.samples) == 1 and float(dt1) == dt1.min_s
+
+
+def test_tradeoff_isolated_per_variant_k(tmp_path):
+    """--isolate spawns one worker per (variant, k): every row's rss_kb is a
+    single-configuration VmPeak (the reference's semantics), and the CSV
+    carries the median + min timing columns."""
+    out = tmp_path / "t.csv"
+    proc = subprocess.run(
+        [sys.executable, "-m", "two_pass_lanczos_tpu.experiments.tradeoff",
+         "--arcs", "2000", "--k-start", "4", "--k-end", "8", "--k-step", "4",
+         "--repeats", "3", "--isolate", "--cpu-f64",
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(out) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["variant", "k", "time_s", "time_min_s", "rss_kb",
+                       "device_peak_kb"]
+    data = rows[1:]
+    assert len(data) == 4  # 2 variants x 2 ks
+    assert {r[0] for r in data} == {"standard", "two-pass"}
+    for r in data:
+        t_med, t_min, rss = float(r[2]), float(r[3]), int(r[4])
+        assert 0 < t_min <= t_med
+        assert rss > 0

@@ -21,6 +21,7 @@ import numpy as np
 log = logging.getLogger("two_pass_lanczos_tpu")
 
 VARIANT_ENV = "LANCZOS_EXPERIMENT_VARIANT"  # reference: tradeoff.rs:44
+K_ENV = "LANCZOS_EXPERIMENT_K"  # per-(variant,k) isolation (VERDICT r3 w1)
 VARIANTS = ("standard", "two-pass")
 
 
@@ -39,19 +40,40 @@ def force_cpu_f64():
     jax.config.update("jax_enable_x64", True)
 
 
-def timed_solve(fn, *args, **kwargs):
-    """Run a solve with a forced readback, returning (result, seconds).
+class SolveSeconds(float):
+    """A float (the MEDIAN solve time) carrying the full sample set.
 
-    A scalar reduction is fetched to host to defeat async-dispatch and
-    result-caching artifacts (tunneled-TPU environments lie to
-    ``block_until_ready``).
+    Keeps every existing ``_, dt = timed_solve(...)`` call site working
+    while exposing ``dt.min_s`` / ``dt.samples`` for the ``time_min_s``
+    CSV column (VERDICT r3 item 8: single-draw timing cells are
+    meaningless inside the tunneled chip's ±30% noise band).
+    """
+
+    def __new__(cls, samples):
+        obj = super().__new__(cls, float(np.median(samples)))
+        obj.samples = list(samples)
+        obj.min_s = float(min(samples))
+        return obj
+
+
+def timed_solve(fn, *args, repeats: int = 1, **kwargs):
+    """Run a solve ``repeats`` times with forced readbacks, returning
+    ``(result, SolveSeconds)`` — a float equal to the median sample.
+
+    A scalar reduction is fetched to host after every run to defeat
+    async-dispatch and result-caching artifacts (tunneled-TPU environments
+    lie to ``block_until_ready``).
     """
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    out = fn(*args, **kwargs)
-    float(jnp.sum(jnp.abs(out)))
-    return out, time.perf_counter() - t0
+    samples = []
+    out = None
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        float(jnp.sum(jnp.abs(out)))
+        samples.append(time.perf_counter() - t0)
+    return out, SolveSeconds(samples)
 
 
 def peak_memory_kb() -> int:
@@ -157,14 +179,27 @@ def known_solution_problem(operator, n: int):
     return x_true, b
 
 
-def run_orchestrated(argv: List[str], parse_row) -> List[tuple]:
-    """Re-exec this CLI once per variant with VARIANT_ENV set, collecting
-    headerless CSV rows from each worker's stdout (the reference's process-
-    isolation model so VmPeak reflects one configuration)."""
+def run_orchestrated(argv: List[str], parse_row,
+                     k_values: Optional[Sequence[int]] = None) -> List[tuple]:
+    """Re-exec this CLI per variant (and, with ``k_values``, per (variant,
+    k) pair) with VARIANT_ENV/K_ENV set, collecting headerless CSV rows
+    from each worker's stdout.
+
+    The reference isolates per variant only (``tradeoff.rs:4-7``) because
+    its hot-loop allocations are algorithm state; here the dominant host
+    growth across a k sweep is the XLA jit cache, so VmPeak fidelity needs
+    per-(variant, k) processes — one worker per CSV row (VERDICT r3 weak
+    item 1).
+    """
     rows: List[tuple] = []
-    for variant in VARIANTS:
+    jobs = [(v, k) for v in VARIANTS
+            for k in (k_values if k_values is not None else [None])]
+    for variant, k in jobs:
         env = dict(os.environ, **{VARIANT_ENV: variant})
-        log.info("spawning worker for variant=%s", variant)
+        if k is not None:
+            env[K_ENV] = str(k)
+        log.info("spawning worker for variant=%s%s", variant,
+                 "" if k is None else f" k={k}")
         proc = subprocess.run(
             [sys.executable, "-m", argv[0], *argv[1:]],
             env=env,
@@ -188,3 +223,9 @@ def emit_row(*fields):
 
 def worker_variant() -> Optional[str]:
     return os.environ.get(VARIANT_ENV)
+
+
+def worker_k() -> Optional[int]:
+    """The single k this worker is isolated to (per-(variant,k) mode)."""
+    v = os.environ.get(K_ENV)
+    return None if v is None else int(v)

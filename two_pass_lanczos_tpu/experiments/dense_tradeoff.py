@@ -22,12 +22,14 @@ def build_parser():
     p.add_argument("--k-end", type=int, default=1000)
     p.add_argument("--k-step", type=int, default=100)
     p.add_argument("--output", required=True)
+    p.add_argument("--repeats", type=int, default=1,
+                   help="timed repetitions per cell; median + min recorded")
     p.add_argument("--isolate", action="store_true")
     p.add_argument("--cpu-f64", action="store_true")
     return p
 
 
-def _run_variant(args, variant, emit):
+def _run_variant(args, variant, emit, only_k=None):
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,16 +46,19 @@ def _run_variant(args, variant, emit):
     b = jnp.asarray(rng.standard_normal(args.size), dtype=dtype)
     method = "one_pass" if variant == "standard" else "two_pass"
     itemsize = jnp.dtype(dtype).itemsize
-    for k in range(args.k_start, args.k_end + 1, args.k_step):
+    ks = (range(args.k_start, args.k_end + 1, args.k_step)
+          if only_k is None else [only_k])
+    for k in ks:
         # warm (compile) with a forced readback, then time
         timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
-        _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv", method=method)
+        _, dt = timed_solve(tpl.solve_fAb, op, b, k=k, f="inv",
+                            method=method, repeats=args.repeats)
         rss = peak_memory_kb()
         basis = k * args.size * itemsize if method == "one_pass" else 0
         dev_kb = device_peak_kb(basis)
-        log.info("%s k=%d time=%.4fs mem=%dKB dev=%dKB",
-                 variant, k, dt, rss, dev_kb)
-        emit(variant, k, dt, rss, dev_kb)
+        log.info("%s k=%d time=%.4fs (min %.4fs) mem=%dKB dev=%dKB",
+                 variant, k, dt, dt.min_s, rss, dev_kb)
+        emit(variant, k, float(dt), dt.min_s, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -69,25 +74,31 @@ def main(argv=None) -> int:
 
     wv = worker_variant()
     if wv is not None:
-        _run_variant(args, wv, emit_row)
+        from two_pass_lanczos_tpu.experiments.common import worker_k
+
+        _run_variant(args, wv, emit_row, only_k=worker_k())
         return 0
 
     rows = []
     if args.isolate:
         sub = ["--size", str(args.size), "--seed", str(args.seed),
                "--k-start", str(args.k_start), "--k-end", str(args.k_end),
-               "--k-step", str(args.k_step), "--output", args.output]
+               "--k-step", str(args.k_step), "--output", args.output,
+               "--repeats", str(args.repeats)]
         if args.cpu_f64:
             sub += ["--cpu-f64"]
         rows = run_orchestrated(
             [MODULE, *sub],
-            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]), int(f[4])),
+            lambda f: (f[0], int(f[1]), float(f[2]), float(f[3]),
+                       int(f[4]), int(f[5])),
+            k_values=list(range(args.k_start, args.k_end + 1, args.k_step)),
         )
     else:
         for variant in VARIANTS:
             _run_variant(args, variant, lambda *f: rows.append(f))
     write_csv(args.output,
-              ["variant", "k", "time_s", "rss_kb", "device_peak_kb"], rows)
+              ["variant", "k", "time_s", "time_min_s", "rss_kb",
+               "device_peak_kb"], rows)
     return 0
 
 

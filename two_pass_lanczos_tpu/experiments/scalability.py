@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--backend", choices=["auto", "xla", "pallas", "fused"],
                    default="auto")
     p.add_argument("--cpu-f64", action="store_true")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="timed repetitions per cell; median + min recorded")
     p.add_argument("--max-retries", type=int, default=5)
     p.add_argument("--isolate", action="store_true",
                    help="one worker process per (variant, size) — per-row "
@@ -122,12 +124,12 @@ def _measure(args, variant, solve, n, emit, basis_bytes=lambda m: 0):
 
     method = "one_pass" if variant == "standard" else "two_pass"
     timed_solve(solve, method)  # warm/compile
-    _, dt = timed_solve(solve, method)
+    _, dt = timed_solve(solve, method, repeats=args.repeats)
     rss = peak_memory_kb()
     dev_kb = device_peak_kb(basis_bytes(method))
-    log.info("%s n=%d k=%d time=%.4fs mem=%dKB dev=%dKB",
-             variant, n, args.k, dt, rss, dev_kb)
-    emit(variant, n, args.k, dt, rss, dev_kb)
+    log.info("%s n=%d k=%d time=%.4fs (min %.4fs) mem=%dKB dev=%dKB",
+             variant, n, args.k, dt, dt.min_s, rss, dev_kb)
+    emit(variant, n, args.k, float(dt), dt.min_s, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -150,8 +152,8 @@ def main(argv=None) -> int:
 
     with open(args.output, "w", newline="") as fh:
         writer = csv.writer(fh)
-        writer.writerow(["variant", "n", "k", "time_s", "rss_kb",
-                         "device_peak_kb"])
+        writer.writerow(["variant", "n", "k", "time_s", "time_min_s",
+                         "rss_kb", "device_peak_kb"])
 
         def emit(*fields):
             writer.writerow(fields)
@@ -166,9 +168,10 @@ def main(argv=None) -> int:
                      str(arcs), "--arcs-step", str(args.arcs_step),
                      "--k", str(args.k), "--rho", str(args.rho),
                      "--backend", args.backend, "--output", "/dev/null",
+                     "--repeats", str(args.repeats),
                      *(["--cpu-f64"] if args.cpu_f64 else [])],
                     lambda f: (f[0], int(f[1]), int(f[2]), float(f[3]),
-                               int(f[4]), int(f[5])),
+                               float(f[4]), int(f[5]), int(f[6])),
                 )
                 for r in rows:
                     emit(*r)

@@ -3,17 +3,20 @@
 
 Known-solution setup: ``x_true = 1/√n``, ``b = A·x_true``; f = inv; sweep k.
 CSV schema is the reference's ``variant,k,time_s,rss_kb``
-(``results/tradeoff_*.csv``) plus a ``device_peak_kb`` column: on
-accelerators ``rss_kb`` only reflects host staging, so the O(nk) vs O(n)
-memory story is measured on the device side (PJRT peak when exposed; live
-array bytes + the analytic one-pass basis otherwise — see
-``common.device_peak_kb``).
+(``results/tradeoff_*.csv``) plus two documented extensions:
+``time_min_s`` (``time_s`` is the median of ``--repeats`` samples, the
+minimum rides along — single draws are meaningless inside the tunneled
+chip's ±30% noise band) and ``device_peak_kb`` (on accelerators ``rss_kb``
+only reflects host staging, so the O(nk) vs O(n) memory story is measured
+on the device side — see ``common.device_peak_kb``).
 
 Process model: by default both variants run in-process, in which case the
 ``rss_kb`` column is the PROCESS-CUMULATIVE peak (later rows inherit earlier
-configurations' peaks). For per-variant memory fidelity use ``--isolate``,
-which reproduces the reference's orchestrator/worker re-exec
-(``tradeoff.rs:4-7,142-213``).
+configurations' peaks — on this stack dominated by XLA jit-cache growth
+across the k sweep, which inverts the memory story). ``--isolate`` spawns
+one worker per (variant, k) so every row's VmPeak reflects exactly one
+configuration, extending the reference's per-variant re-exec
+(``tradeoff.rs:4-7,142-213``) to per-cell granularity.
 """
 
 from __future__ import annotations
@@ -34,8 +37,13 @@ def build_parser():
     p.add_argument("--k-end", type=int, default=1000)
     p.add_argument("--k-step", type=int, default=50)
     p.add_argument("--output", required=True)
+    p.add_argument("--repeats", type=int, default=1,
+                   help="timed repetitions per (variant,k) cell; time_s is "
+                        "the median, time_min_s the minimum")
     p.add_argument("--isolate", action="store_true",
-                   help="orchestrator/worker process isolation (VmPeak fidelity)")
+                   help="per-(variant,k) process isolation: rss_kb becomes "
+                        "the reference's single-configuration VmPeak "
+                        "(in-process sweeps accumulate the XLA jit cache)")
     p.add_argument("--backend", choices=["auto", "xla", "pallas", "fused"],
                    default="auto")
     p.add_argument("--cpu-f64", action="store_true")
@@ -108,22 +116,24 @@ def _build_context(args):
     return solve, basis_bytes
 
 
-def _run_variant(args, variant, emit, ctx=None):
+def _run_variant(args, variant, emit, ctx=None, only_k=None):
     from two_pass_lanczos_tpu.experiments.common import (
         device_peak_kb, log, peak_memory_kb, timed_solve,
     )
 
     solve, basis_bytes = ctx if ctx is not None else _build_context(args)
     method = "one_pass" if variant == "standard" else "two_pass"
-    for k in range(args.k_start, args.k_end + 1, args.k_step):
+    ks = (range(args.k_start, args.k_end + 1, args.k_step)
+          if only_k is None else [only_k])
+    for k in ks:
         # warm (compile) with a forced readback, then time
         timed_solve(solve, k, method)
-        _, dt = timed_solve(solve, k, method)
+        _, dt = timed_solve(solve, k, method, repeats=args.repeats)
         rss = peak_memory_kb()
         dev_kb = device_peak_kb(basis_bytes(k, method))
-        log.info("%s k=%d time=%.4fs mem=%dKB dev=%dKB",
-                 variant, k, dt, rss, dev_kb)
-        emit(variant, k, dt, rss, dev_kb)
+        log.info("%s k=%d time=%.4fs (min %.4fs, n=%d) mem=%dKB dev=%dKB",
+                 variant, k, dt, dt.min_s, len(dt.samples), rss, dev_kb)
+        emit(variant, k, float(dt), dt.min_s, rss, dev_kb)
 
 
 def main(argv=None) -> int:
@@ -137,17 +147,22 @@ def main(argv=None) -> int:
     if args.cpu_f64:
         force_cpu_f64()
 
-    header = ["variant", "k", "time_s", "rss_kb", "device_peak_kb"]
+    header = ["variant", "k", "time_s", "time_min_s", "rss_kb",
+              "device_peak_kb"]
     wv = worker_variant()
     if wv is not None:  # worker process: stream headerless rows on stdout
-        _run_variant(args, wv, emit_row)
+        from two_pass_lanczos_tpu.experiments.common import worker_k
+
+        _run_variant(args, wv, emit_row, only_k=worker_k())
         return 0
 
     rows = []
     if args.isolate:
         rows = run_orchestrated(
             [MODULE, *(argv or _reconstruct_argv(args))],
-            lambda f: (f[0], int(f[1]), float(f[2]), int(f[3]), int(f[4])),
+            lambda f: (f[0], int(f[1]), float(f[2]), float(f[3]),
+                       int(f[4]), int(f[5])),
+            k_values=list(range(args.k_start, args.k_end + 1, args.k_step)),
         )
     else:
         ctx = _build_context(args)  # shared: one instance/solver build
@@ -160,7 +175,7 @@ def main(argv=None) -> int:
 def _reconstruct_argv(args):
     out = ["--output", args.output, "--k-start", str(args.k_start),
            "--k-end", str(args.k_end), "--k-step", str(args.k_step),
-           "--backend", args.backend]
+           "--backend", args.backend, "--repeats", str(args.repeats)]
     if args.dmx and args.qfc:
         out += ["--dmx", args.dmx, "--qfc", args.qfc]
     if args.arcs:
