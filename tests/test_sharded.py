@@ -122,3 +122,66 @@ def test_distributed_mesh_sizes_consistent():
     for x in results[1:]:
         rel = np.linalg.norm(x - results[0]) / np.linalg.norm(results[0])
         assert rel < 1e-9  # inv on the indefinite KKT amplifies psum-order rounding
+
+
+class TestGenericChunked:
+    """In-run early stopping on the generic row partition
+    (`ShardedSparseOperator.solve_fAb(callback=...)`): same contract as the
+    fused distributed path — chunked coefficients bit-identical to the
+    monolithic scan, a stop at s costs <= ceil(s/chunk)·chunk pass-one
+    matvecs + s pass-two matvecs per device."""
+
+    def _op(self, ndev=8, arcs=500):
+        arrays = _kkt_arrays(arcs=arcs)
+        sop = ShardedSparseOperator.from_kkt_arrays(arrays, make_mesh(ndev))
+        rng = np.random.default_rng(7)
+        return sop, rng.standard_normal(arrays.n)
+
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_bit_identical_to_monolithic(self, ndev):
+        sop, b = self._op(ndev)
+        k = 23
+        _, dec_ref = sop.solve_fAb(b, k=k, f="inv", method="two_pass")
+        dec, stopped = sop.pass_one_chunked(b, k, chunk=8)
+        assert not stopped
+        np.testing.assert_array_equal(np.asarray(dec.alphas),
+                                      np.asarray(dec_ref.alphas))
+        np.testing.assert_array_equal(np.asarray(dec.betas),
+                                      np.asarray(dec_ref.betas))
+        assert int(dec.steps_taken) == k
+
+    def test_callback_stop_cost_and_result(self):
+        sop, b = self._op()
+        k, stop_at, chunk = 30, 11, 4
+        seen = []
+
+        def cb(step, basis, scalars):
+            alphas, betas = scalars
+            assert basis is None
+            assert len(alphas) == step and len(betas) == step - 1
+            seen.append(step)
+            return step < stop_at
+
+        x_cb, dec = sop.solve_fAb(b, k=k, f="inv", callback=cb,
+                                  callback_chunk=chunk)
+        assert seen == list(range(1, stop_at + 1))
+        assert int(dec.steps_taken) == stop_at
+        assert sop._last_p1_launches <= -(-stop_at // chunk)
+        assert sop._last_p2_len == stop_at
+        x_ref, dec_ref = sop.solve_fAb(b, k=stop_at, f="inv")
+        np.testing.assert_array_equal(np.asarray(dec.alphas)[:stop_at],
+                                      np.asarray(dec_ref.alphas))
+        np.testing.assert_allclose(x_cb, x_ref, rtol=0,
+                                   atol=1e-12 * np.abs(x_ref).max())
+
+    def test_zero_b(self):
+        sop, _ = self._op(ndev=2)
+        n = sop.shape[0]
+        dec, stopped = sop.pass_one_chunked(np.zeros(sop.part.n_orig), 8,
+                                            chunk=4)
+        assert not stopped
+        assert int(dec.steps_taken) == 0
+        x, dec2 = sop.solve_fAb(np.zeros(sop.part.n_orig), k=8, f="inv",
+                                callback=lambda *a: True, callback_chunk=4)
+        assert int(dec2.steps_taken) == 0
+        np.testing.assert_array_equal(x, 0.0)

@@ -34,7 +34,15 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition, pass_one_scan
+from two_pass_lanczos_tpu.algorithms.core import (
+    LanczosCarry,
+    LanczosDecomposition,
+    init_carry,
+    l2_norm,
+    make_pass_one_step,
+    pass_one_scan,
+    zero_tolerance,
+)
 from two_pass_lanczos_tpu.algorithms.two_pass import _reconstruction_scan
 from two_pass_lanczos_tpu.functions import padded_f_e1
 from two_pass_lanczos_tpu.parallel.partition import (
@@ -198,8 +206,134 @@ class ShardedSparseOperator:
             self._solve_cache[key] = self._build_solve(k, f, method)
         return self._solve_cache[key]
 
+    # -- chunked pass one (live early-stop callback) --------------------
+
+    def _build_p1_init(self):
+        axis, rows_per = self.axis, self.part.rows_per
+
+        def run(blocks, b_local):
+            del blocks  # same signature as the chunk for symmetry
+            rs = lambda s: lax.psum(s, axis)
+            b_norm = l2_norm(b_local, rs)
+            c = init_carry(b_local, b_norm, zero_tolerance(b_local.dtype))
+            return c.v_prev, c.v_curr, c.beta_prev, c.done, c.steps, b_norm
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(tuple([P(axis, None)] * 6), P(axis)),
+            out_specs=(P(axis), P(axis), P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def _build_p1_chunk(self, chunk: int):
+        axis, rows_per = self.axis, self.part.rows_per
+
+        def run(blocks, vp, vc, bp, done, steps):
+            blocks = tuple(a[0] for a in blocks)
+            matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+            rs = lambda s: lax.psum(s, axis)
+            step = make_pass_one_step(matvec, vc.dtype, emit_basis=False,
+                                      reduce_sum=rs)
+            carry0 = LanczosCarry(vp, vc, bp, done, steps)
+            carry, outs = lax.scan(step, carry0, None, length=chunk)
+            return (carry.v_prev, carry.v_curr, carry.beta_prev,
+                    carry.done, carry.steps, outs[0], outs[1])
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(tuple([P(axis, None)] * 6),
+                      P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def _build_p2_finish(self, k2: int, f):
+        """Pass two compiled at scan length ``k2`` — an early stop at step s
+        pays exactly s reconstruction matvecs per device."""
+        axis, rows_per = self.axis, self.part.rows_per
+
+        def run(blocks, b_local, alphas, betas, steps, b_norm):
+            blocks = tuple(a[0] for a in blocks)
+            matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+            decomp = LanczosDecomposition(
+                alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
+            y = padded_f_e1(decomp, f)
+            y = (y * b_norm).astype(b_local.dtype)
+            x_local, _ = _reconstruction_scan(
+                matvec, b_local, decomp, y, emit_basis=False)
+            return x_local
+
+        shmapped = jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(tuple([P(axis, None)] * 6), P(axis),
+                      P(), P(), P(), P()),
+            out_specs=P(axis),
+            check_vma=False)
+        return jax.jit(shmapped)
+
+    def pass_one_chunked(self, b, k: int, callback=None, chunk: int = 16):
+        """Pass one with a live per-iteration callback over the mesh — the
+        reference's in-loop ``LanczosCallback`` break-out
+        (``src/algorithms/mod.rs:69-86``) on the generic row partition.
+
+        Same contract as ``ShardedFusedKKTSolver.pass_one_chunked``: between
+        ``chunk``-step compiled launches the replicated (α, β, steps) are
+        read back and ``callback(s, None, (alphas[:s], betas[:s-1]))`` is
+        replayed per iteration; a stop at step s costs at most
+        ceil(s/chunk)·chunk matvecs per device. Returns
+        ``(decomposition, stopped)``.
+        """
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        b_local = self._prepare_b(b)
+        if "p1_init" not in self._solve_cache:
+            self._solve_cache["p1_init"] = self._build_p1_init()
+        vp, vc, bp, done, steps_a, b_norm = self._solve_cache["p1_init"](
+            self.local_blocks, b_local)
+        rdt = np.dtype(self.dtype)
+        alphas = np.zeros(k, rdt)
+        betas = np.zeros(k, rdt)
+        visited = 0
+        stopped = False
+        self._last_p1_launches = 0
+        remaining = k
+        while remaining > 0:
+            c = min(chunk, remaining)
+            key = ("p1_chunk", c)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_p1_chunk(c)
+            (vp, vc, bp, done, steps_a, a_c, b_c) = self._solve_cache[key](
+                self.local_blocks, vp, vc, bp, done, steps_a)
+            self._last_p1_launches += 1
+            remaining -= c
+            steps_now = int(np.asarray(steps_a))
+            got = steps_now - visited
+            if got > 0:
+                alphas[visited:steps_now] = np.asarray(a_c)[:got]
+                betas[visited:steps_now] = np.asarray(b_c)[:got]
+            if callback is not None:
+                for s in range(visited + 1, steps_now + 1):
+                    if not callback(s, None, (alphas[:s], betas[: s - 1])):
+                        visited = s
+                        stopped = True
+                        break
+                else:
+                    visited = steps_now
+            else:
+                visited = steps_now
+            if stopped or bool(np.asarray(done)) or steps_now >= k:
+                break
+        steps = visited
+        alphas[steps:] = 0.0
+        betas[max(steps - 1, 0) if stopped else steps:] = 0.0
+        decomp = LanczosDecomposition(
+            alphas=jnp.asarray(alphas), betas=jnp.asarray(betas),
+            steps_taken=jnp.asarray(steps, jnp.int32),
+            b_norm=jnp.asarray(b_norm))
+        return decomp, stopped
+
     def solve_fAb(self, b, *, k: int, f="exp", method: str = "two_pass",
-                  raw: bool = False):
+                  raw: bool = False, callback=None, callback_chunk: int = 16):
         """Distributed f(A)·b. Returns ``(x, decomposition)``.
 
         ``x`` is a NumPy array in original row order; the decomposition's
@@ -207,7 +341,34 @@ class ShardedSparseOperator:
         must use ``raw=True`` (``x`` stays the sharded, row-permuted device
         array — unpacking requires every shard to be process-addressable);
         the decomposition is replicated and host-readable everywhere.
+
+        ``callback`` (two_pass only) enables in-run early stopping via
+        :meth:`pass_one_chunked`; a stop at step s runs a pass two compiled
+        at scan length s, so the solve pays ceil(s/chunk)·chunk + s matvecs
+        per device instead of 2k.
         """
+        if callback is not None:
+            if method != "two_pass":
+                raise ValueError(
+                    "callback early stopping is implemented for the "
+                    "two_pass method")
+            decomp, _stopped = self.pass_one_chunked(
+                b, k, callback=callback, chunk=callback_chunk)
+            steps = int(np.asarray(decomp.steps_taken))
+            k2 = max(steps, 1)
+            self._last_p2_len = k2
+            key = ("p2_finish", k2, f)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_p2_finish(k2, f)
+            # truncated views compile the finish at length k2 while the
+            # returned decomposition keeps the uniform length-k arrays
+            x_perm = self._solve_cache[key](
+                self.local_blocks, self._prepare_b(b),
+                decomp.alphas[:k2], decomp.betas[:k2],
+                decomp.steps_taken, decomp.b_norm)
+            if raw:
+                return x_perm, decomp
+            return self._restore_x(x_perm), decomp
         b_local = self._prepare_b(b)
         x_perm, alphas, betas, steps, b_norm = self._solver(k, f, method)(
             self.local_blocks, b_local
