@@ -64,6 +64,56 @@ def test_two_process_distributed_solve():
     assert any("MULTIHOST_OK" in out for _, out, _ in outs)
 
 
+def test_scaling_artifact_published():
+    """The committed virtual-mesh scaling artifact
+    (results/scaling_virtual.json, VERDICT r3 item 2) carries the
+    documented schema: fused+generic at nproc {1,2,4}, df at the <=4-device
+    meshes, every record marked meaningful:false (1-core CPU host — the
+    same command with --backend tpu on a pod produces the BASELINE >=80%
+    measurement), plus the command line to re-run it."""
+    import json
+
+    art = Path(__file__).resolve().parents[1] / "results" / "scaling_virtual.json"
+    assert art.exists(), "results/scaling_virtual.json not committed"
+    doc = json.loads(art.read_text())
+    assert "--backend tpu" not in doc["command"]
+    metrics = {r["metric"]: r for r in doc["records"] if "metric" in r}
+    for design in ("fused", "generic"):
+        for nproc in (1, 2, 4):
+            r = metrics[f"scaling_{design}_nproc{nproc}"]
+            assert r["seconds_per_step"] > 0 and r["nnz_per_s"] > 0
+            assert r["meaningful"] is False
+    # df present on the <=4-total-device meshes (interpret-mode compile
+    # explodes past 4; a TPU pod run has no such limit)
+    assert "scaling_df_nproc1" in metrics and "scaling_df_nproc2" in metrics
+    assert any("note" in r for r in doc["records"])
+
+
+@pytest.mark.slow
+def test_scaling_bench_four_process_with_df():
+    """4-process jax.distributed sweep including the double-float sharded
+    design (VERDICT r3 item 2's done-criterion): df runs on the <=4-device
+    legs, f32 designs on all legs, schema identical to the artifact's."""
+    import json
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "scaling_bench.py"
+    proc = subprocess.run(
+        [sys.executable, str(script), "--processes", "1", "4",
+         "--arcs", "8000", "--k", "6", "--reps", "1",
+         "--devices-per-process", "1",
+         "--designs", "fused", "generic", "df", "--port", "8617"],
+        capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    records = [json.loads(l) for l in proc.stdout.splitlines()
+               if l.startswith("{")]
+    metrics = {r["metric"]: r for r in records if "metric" in r}
+    for design in ("fused", "generic", "df"):
+        for nproc in (1, 4):
+            r = metrics[f"scaling_{design}_nproc{nproc}"]
+            assert r["seconds_per_step"] > 0
+            assert r["ndev"] == nproc
+
+
 def test_scaling_bench_two_process_schema():
     """`scripts/scaling_bench.py` (the BASELINE >=80%-efficiency
     measurement artifact) runs 1- and 2-process sweeps on the virtual mesh
