@@ -72,6 +72,11 @@ from two_pass_lanczos_tpu.algorithms.df import (
     lanczos_pass_one_df,
     solve_fAb_df,
 )
+from two_pass_lanczos_tpu.convergence import (
+    convergence_history,
+    make_convergence_callback,
+    update_norm,
+)
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
@@ -109,6 +114,10 @@ __all__ = [
     "make_function_solver",
     "make_poly_solver",
     "padded_f_e1",
+    # convergence estimation / ready-made stopping callbacks
+    "update_norm",
+    "convergence_history",
+    "make_convergence_callback",
     # compensated-precision (double-float) TPU path
     "DFDiagonalOperator",
     "DFKKTOperator",
