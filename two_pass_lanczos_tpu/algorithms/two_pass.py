@@ -59,6 +59,13 @@ def _reconstruction_scan(
     ``β_{j+1} = betas[j]``, then accumulates ``x += y[j+1]·v_{j+2}``.
     Steps with ``j ≥ steps_taken − 1`` are masked to no-ops, preserving the
     reference's truncation semantics under a fixed-length scan.
+
+    ``y_k`` may be a single ``(k,)`` vector or a stacked ``(nf, k)`` batch —
+    several matrix functions evaluated from the SAME decomposition. The
+    basis regeneration (the expensive part: all the matvecs) is shared; only
+    the per-step accumulate fans out, so nf functions cost k matvecs instead
+    of nf·k. The regeneration arithmetic is independent of ``y``, hence each
+    slice of the batched result is bit-identical to its single-``f`` run.
     """
     k = decomposition.k_max
     rdt = decomposition.alphas.dtype
@@ -77,10 +84,11 @@ def _reconstruction_scan(
     v1 = b * inv_norm.astype(dt)
 
     # y padded/masked to length k: entries >= steps contribute nothing.
+    # (idx broadcasts over a leading nf axis when y_k is a (nf, k) stack.)
     idx = jnp.arange(k)
     y_full = jnp.where(idx < steps, y_k.astype(dt), jnp.zeros((), dt))
 
-    x0 = y_full[0] * v1
+    x0 = jnp.einsum("...,n->...n", y_full[..., 0], v1)
 
     alphas = decomposition.alphas
     betas = decomposition.betas
@@ -91,7 +99,9 @@ def _reconstruction_scan(
         return x0, basis
 
     js = jnp.arange(k - 1)
-    xs = (alphas[: k - 1], beta_prevs[: k - 1], betas[: k - 1], y_full[1:], js)
+    # scan iterates the leading axis: per-step y slice of shape () or (nf,)
+    y_steps = jnp.moveaxis(y_full[..., 1:], -1, 0)
+    xs = (alphas[: k - 1], beta_prevs[: k - 1], betas[: k - 1], y_steps, js)
 
     def step(carry, x):
         v_prev, v_curr, x_acc = carry
@@ -106,7 +116,7 @@ def _reconstruction_scan(
 
         # y_next is already zero beyond `steps`, and v_next is zeroed when
         # inactive, so the accumulate is naturally masked.
-        x_acc = x_acc + y_next * v_next
+        x_acc = x_acc + jnp.einsum("...,n->...n", y_next, v_next)
 
         v_prev_n = jnp.where(active, v_curr, v_prev)
         v_curr_n = jnp.where(active, v_next, v_curr)

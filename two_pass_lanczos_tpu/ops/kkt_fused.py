@@ -847,6 +847,13 @@ def _pass_two_kernel(
     vpu, vpv, vpn, vcu, vcv, vcn, wu, wv, wn,
     *, k, p_hi, c_chunks, tol, ztol, wg_u, wg_v,
 ):
+    # y of shape (k,) reconstructs one solution; a (nf, k) stack evaluates
+    # nf matrix functions from the SAME replayed basis — the matvec (the
+    # expensive part) runs once per step, only the accumulate axpys (the
+    # ~3 µs/step tail of the cost split, PERF.md) fan out per function.
+    # xu/xn are then (nf, R, LANE)/(nf, P2, LANE), slot fi static.
+    multi = len(y.shape) == 2
+    nf = y.shape[0] if multi else 1
     b_norm = bnorm[0]
     steps = steps_in[0]
     inv_n = jnp.where(b_norm <= ztol, 0.0, 1.0 / b_norm)
@@ -856,9 +863,14 @@ def _pass_two_kernel(
     vpu[:] = jnp.zeros(vpu.shape, jnp.float32)
     vpv[:] = jnp.zeros(vpv.shape, jnp.float32)
     vpn[:] = jnp.zeros(vpn.shape, jnp.float32)
-    y0 = y[0]
-    xu[:] = y0 * vcu[:]
-    xn[:] = y0 * vcn[:]
+    for fi in range(nf):
+        y0 = y[fi, 0] if multi else y[0]
+        if multi:
+            xu[fi] = y0 * vcu[:]
+            xn[fi] = y0 * vcn[:]
+        else:
+            xu[:] = y0 * vcu[:]
+            xn[:] = y0 * vcn[:]
 
     orders = (
         (vcu, wu, du, eou, gnu, winu, 1.0, wg_u),
@@ -879,9 +891,16 @@ def _pass_two_kernel(
         wn[:] = wn[:] - beta_prev * vpn[:] - alpha * vcn[:]
         inv_b = jnp.where(
             active, 1.0 / jnp.where(beta_j > 0, beta_j, 1.0), 0.0)
-        y_next = y[j + 1]
-        xu[:] = xu[:] + y_next * (wu[:] * inv_b)
-        xn[:] = xn[:] + y_next * (wn[:] * inv_b)
+        vnu = wu[:] * inv_b
+        vnn = wn[:] * inv_b
+        for fi in range(nf):
+            y_next = y[fi, j + 1] if multi else y[j + 1]
+            if multi:
+                xu[fi] = xu[fi] + y_next * vnu
+                xn[fi] = xn[fi] + y_next * vnn
+            else:
+                xu[:] = xu[:] + y_next * vnu
+                xn[:] = xn[:] + y_next * vnn
 
         @pl.when(active)
         def _advance():
@@ -1353,9 +1372,14 @@ class FusedKKTSolver:
 
     def pass_two(self, b_rep, decomp: LanczosDecomposition, y_full):
         """Reconstruction pass. ``y_full`` is the length-k coefficient vector
-        already masked beyond ``steps_taken`` and scaled by ‖b‖."""
+        already masked beyond ``steps_taken`` and scaled by ‖b‖ — or a
+        ``(nf, k)`` stack of them, reconstructing nf matrix-function
+        solutions from one replayed basis (one matvec per step shared by
+        all; outputs gain a leading nf axis)."""
         lay = self.layout
         k = decomp.k_max
+        y_full = jnp.asarray(y_full)
+        out_lead = y_full.shape[:-1]  # () or (nf,)
         vm, sm = self._common_specs()
         kern = functools.partial(
             _pass_two_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
@@ -1366,8 +1390,8 @@ class FusedKKTSolver:
             in_specs=[vm] * 9 + [sm] * 7,
             out_specs=[vm, vm],
             out_shape=[
-                jax.ShapeDtypeStruct((lay.u.R, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((lay.P2, LANE), jnp.float32),
+                jax.ShapeDtypeStruct(out_lead + (lay.u.R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct(out_lead + (lay.P2, LANE), jnp.float32),
             ],
             scratch_shapes=self._scratch(),
             compiler_params=pltpu.CompilerParams(
@@ -1384,19 +1408,24 @@ class FusedKKTSolver:
             decomp, basis_u, basis_n = self.pass_one_with_basis(b_rep, k)
         else:
             decomp = self.pass_one(b_rep, k)
-        y = padded_f_e1(decomp, f)
+        multi = isinstance(f, tuple)
+        fs = f if multi else (f,)
+        y = jnp.stack([padded_f_e1(decomp, fi) for fi in fs])
+        if not multi:
+            y = y[0]
         idx = jnp.arange(k)
         y_full = jnp.where(idx < decomp.steps_taken,
                            y.astype(jnp.float32) * decomp.b_norm, 0.0)
         if method == "one_pass":
             # x = V_k · y: one big memory-bound contraction over the stored
-            # basis (reference ``src/solvers.rs:96-104``).
-            xu = jnp.einsum("krl,k->rl", basis_u, y_full)
-            xn = jnp.einsum("krl,k->rl", basis_n, y_full)
+            # basis (reference ``src/solvers.rs:96-104``); a multi-f stack
+            # turns the GEMV into a GEMM over the same basis read.
+            xu = jnp.einsum("krl,...k->...rl", basis_u, y_full)
+            xn = jnp.einsum("krl,...k->...rl", basis_n, y_full)
         else:
             xu, xn = self.pass_two(b_rep, decomp, y_full)
         # one stacked output array => one device→host transfer on fetch
-        return jnp.concatenate([xu, xn], axis=0), decomp
+        return jnp.concatenate([xu, xn], axis=-2), decomp
 
     def solve(self, b, k: int, f="inv", method: str = "two_pass",
               raw: bool = False, callback=None, callback_chunk: int = 64):
@@ -1406,10 +1435,30 @@ class FusedKKTSolver:
         rep-layout device array when ``raw=True`` (cheaper: skips the
         unpermute and the host round-trip).
 
+        ``f`` may be a TUPLE of function specs: all of them are evaluated
+        from one decomposition — pass one runs once and pass two replays
+        the basis once, accumulating every function's solution in the same
+        kernel (nf solves for ~the price of one; ``x`` gains a leading nf
+        axis). The kernel replay is y-independent — a stack slice is
+        bit-identical to a single-``f`` kernel run on the same y — but the
+        in-jit projected solve compiles into a different XLA program for
+        the stack, so end-to-end slices agree with single-``f`` solves to
+        f32 rounding, not bitwise.
+
         ``callback`` (two_pass only) enables in-run early stopping: pass
         one runs via :meth:`pass_one_chunked` in ``callback_chunk``-step
         kernel launches and a stop at step s truncates the solve to s
         (the reference's in-loop ``LanczosCallback`` break-out)."""
+        if isinstance(f, tuple) and method == "two_pass" and not self.interpret:
+            lay = self.layout
+            extra = (len(f) - 1) * (lay.u.R + lay.P2) * LANE * 4
+            if self.pass_vmem_bytes(lay) + extra > self.VMEM_BUDGET:
+                raise ValueError(
+                    f"multi-f pass two needs {extra} extra VMEM bytes for "
+                    f"{len(f)} accumulator planes, over the per-chip budget "
+                    "at this instance size; run the functions as separate "
+                    "solves (pass one is the cheaper half) or use "
+                    "method='one_pass'.")
         b_flat = self.pack_flat(b)
         if callback is not None:
             if method != "two_pass":
@@ -1425,12 +1474,15 @@ class FusedKKTSolver:
                     dec = LanczosDecomposition(
                         alphas=alphas, betas=betas, steps_taken=steps,
                         b_norm=b_norm)
-                    y = padded_f_e1(dec, ff)
+                    ffs = ff if isinstance(ff, tuple) else (ff,)
+                    y = jnp.stack([padded_f_e1(dec, fi) for fi in ffs])
+                    if not isinstance(ff, tuple):
+                        y = y[0]
                     y_full = jnp.where(jnp.arange(kk) < steps,
                                        y.astype(jnp.float32) * b_norm, 0.0)
                     xu, xn = self.pass_two(
                         self._split_flat(b_flat2), dec, y_full)
-                    return jnp.concatenate([xu, xn], axis=0)
+                    return jnp.concatenate([xu, xn], axis=-2)
                 self._chunk_jits["_finish"] = jax.jit(
                     finish, static_argnums=(5, 6))
             x_flat = self._chunk_jits["_finish"](
@@ -1445,4 +1497,8 @@ class FusedKKTSolver:
             return x_flat, decomp
         x_np = np.asarray(x_flat)
         r = self.layout.u.R
+        if isinstance(f, tuple):  # (nf, R+P2, LANE) -> (nf, n)
+            return np.stack([
+                self.layout.unpack(xf[:r], xf[r:]) for xf in x_np
+            ]), decomp
         return self.layout.unpack(x_np[:r], x_np[r:]), decomp

@@ -53,6 +53,19 @@ from two_pass_lanczos_tpu.ops.kkt_fused import (
 __all__ = ["ShardedFusedKKTSolver"]
 
 
+def _stacked_y(decomp, f, k, steps, b_norm):
+    """``y' = f(T)e₁`` masked+scaled to length k — for one function spec or
+    a tuple of them (multi-f: shape (nf, k), all sharing the decomposition;
+    the replicated projected solve runs once per function on every device)."""
+    multi = isinstance(f, tuple)
+    fs = f if multi else (f,)
+    y = jnp.stack([padded_f_e1(decomp, fi) for fi in fs])
+    if not multi:
+        y = y[0]
+    return jnp.where(jnp.arange(k) < steps,
+                     y.astype(jnp.float32) * b_norm, 0.0)
+
+
 class ShardedFusedKKTSolver:
     """Distributed fused f(A)·b for one KKT instance over a 1-D mesh."""
 
@@ -162,7 +175,11 @@ class ShardedFusedKKTSolver:
 
     def unpack(self, xu, xn) -> np.ndarray:
         xu = np.asarray(xu)
-        xn = np.asarray(xn).reshape(-1)
+        xn = np.asarray(xn)
+        if xu.ndim == 4:  # multi-f: (D, nf, R, LANE) / (nf, P2, LANE)
+            return np.stack([self.unpack(xu[:, i], xn[i])
+                             for i in range(xu.shape[1])])
+        xn = xn.reshape(-1)
         x = np.empty(self.n)
         for d, (lay, ix) in enumerate(zip(self.layouts, self.arc_idx)):
             x[ix] = xu[d].reshape(-1)[lay.u.pos]
@@ -252,8 +269,11 @@ class ShardedFusedKKTSolver:
             inv_b = jnp.where(
                 active, 1.0 / jnp.where(bj > 0, bj, 1.0), 0.0)
             v_next = tuple(wi * inv_b for wi in w)
-            x_acc = (x_acc[0] + y_next * v_next[0],
-                     x_acc[1] + y_next * v_next[2])
+            # y_next is a scalar, or a (nf,) slice when several matrix
+            # functions share this replay (multi-f: one matvec per step,
+            # nf accumulates)
+            x_acc = (x_acc[0] + jnp.einsum("...,rl->...rl", y_next, v_next[0]),
+                     x_acc[1] + jnp.einsum("...,rl->...rl", y_next, v_next[2]))
             sel = lambda a, b_: jnp.where(active, a, b_)
             vp_n = tuple(sel(c, p_) for c, p_ in zip(vc, vp))
             vc_n = tuple(sel(nn, c) for nn, c in zip(v_next, vc))
@@ -286,27 +306,29 @@ class ShardedFusedKKTSolver:
             decomp = LanczosDecomposition(
                 alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
 
-            y = padded_f_e1(decomp, f)
-            y_full = jnp.where(jnp.arange(k) < steps,
-                               y.astype(jnp.float32) * b_norm, 0.0)
+            y_full = _stacked_y(decomp, f, k, steps, b_norm)
 
             if one_pass:
                 # x = V_k·y: the per-device basis slab lives in HBM as the
                 # scan's stacked outputs; one memory-bound contraction,
                 # like the reference's final GEMV (src/solvers.rs:96-104)
+                # (a multi-f stack turns the GEMV into a GEMM over the
+                # same basis read)
                 basis_u, basis_n = outs[2], outs[3]
-                x_u = jnp.einsum("krl,k->rl", basis_u, y_full)
-                x_n = jnp.einsum("krl,k->rl", basis_n, y_full)
+                x_u = jnp.einsum("krl,...k->...rl", basis_u, y_full)
+                x_n = jnp.einsum("krl,...k->...rl", basis_n, y_full)
                 return x_u[None], x_n, alphas, betas, steps, b_norm
 
             # pass two: stored-beta replay (same collective structure)
-            x0 = (y_full[0] * v1[0], y_full[0] * v1[2])
+            x0 = (jnp.einsum("...,rl->...rl", y_full[..., 0], v1[0]),
+                  jnp.einsum("...,rl->...rl", y_full[..., 0], v1[2]))
             beta_prevs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32), betas[:-1]])
             p2_step = self._mk_p2_step(matvec, steps)
             if k > 1:
                 xs = (alphas[: k - 1], beta_prevs[: k - 1], betas[: k - 1],
-                      y_full[1:], jnp.arange(k - 1))
+                      jnp.moveaxis(y_full[..., 1:], -1, 0),
+                      jnp.arange(k - 1))
                 (_, _, x_acc), _ = lax.scan(p2_step, (zeros, v1, x0), xs)
             else:
                 x_acc = x0
@@ -407,16 +429,17 @@ class ShardedFusedKKTSolver:
             decomp = LanczosDecomposition(
                 alphas=alphas, betas=betas, steps_taken=steps,
                 b_norm=b_norm)
-            y = padded_f_e1(decomp, f)
-            y_full = jnp.where(jnp.arange(k) < steps,
-                               y.astype(jnp.float32) * b_norm, 0.0)
-            x0 = (y_full[0] * v1[0], y_full[0] * v1[2])
+            y_full = _stacked_y(decomp, f, k, steps, b_norm)
+            x0 = (jnp.einsum("...,rl->...rl", y_full[..., 0], v1[0]),
+                  jnp.einsum("...,rl->...rl", y_full[..., 0], v1[2]))
             beta_prevs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32), betas[:-1]])
             p2_step = self._mk_p2_step(matvec, steps)
             if k2 > 1:
                 xs = (alphas[: k2 - 1], beta_prevs[: k2 - 1],
-                      betas[: k2 - 1], y_full[1:k2], jnp.arange(k2 - 1))
+                      betas[: k2 - 1],
+                      jnp.moveaxis(y_full[..., 1:k2], -1, 0),
+                      jnp.arange(k2 - 1))
                 (_, _, x_acc), _ = lax.scan(p2_step, (zeros, v1, x0), xs)
             else:
                 x_acc = x0
@@ -521,6 +544,11 @@ class ShardedFusedKKTSolver:
         launches; a stop at step s runs a pass two compiled at scan length
         s, so the whole solve pays ceil(s/chunk)·chunk + s matvecs per
         device instead of 2k.
+
+        ``f`` may be a tuple of function specs: all are evaluated from one
+        decomposition — pass one runs once and the replay/contract fans the
+        accumulate out over all of them (``x`` gains a leading nf axis; the
+        one-pass basis slab is stored once regardless of nf).
         """
         if method == "one_pass":
             need = self.one_pass_basis_bytes(k)

@@ -45,6 +45,15 @@ from two_pass_lanczos_tpu.algorithms.core import (
 )
 from two_pass_lanczos_tpu.algorithms.two_pass import _reconstruction_scan
 from two_pass_lanczos_tpu.functions import padded_f_e1
+
+
+def _stacked_y_local(decomp, f):
+    """``f(T)e₁`` for one function spec or a tuple of them (multi-f: a
+    ``(nf, k)`` stack from the same decomposition)."""
+    multi = isinstance(f, tuple)
+    fs = f if multi else (f,)
+    y = jnp.stack([padded_f_e1(decomp, fi) for fi in fs])
+    return y if multi else y[0]
 from two_pass_lanczos_tpu.parallel.partition import (
     RowPartition,
     build_local_blocks_split,
@@ -165,8 +174,10 @@ class ShardedSparseOperator:
             bp.shape, self.vec_sharding, lambda idx: bp[idx])
 
     def _restore_x(self, x_perm) -> np.ndarray:
-        x = np.asarray(x_perm)[self.part.inv_perm]
-        return x[: self.part.n_orig]
+        # last axis is the (padded, permuted) row axis; a leading nf axis
+        # (multi-f solves) passes through untouched
+        x = np.asarray(x_perm)[..., self.part.inv_perm]
+        return x[..., : self.part.n_orig]
 
     # ------------------------------------------------------------------
     def _build_solve(self, k: int, f, method: str):
@@ -180,10 +191,12 @@ class ShardedSparseOperator:
             decomp, basis = pass_one_scan(
                 matvec, b_local, k, emit_basis=emit, reduce_sum=reduce_sum
             )
-            y = padded_f_e1(decomp, f)  # replicated k×k solve on every device
+            # replicated k×k solve on every device; a tuple f evaluates a
+            # stack of functions from the same decomposition (multi-f)
+            y = _stacked_y_local(decomp, f)
             y = (y * decomp.b_norm).astype(b_local.dtype)
             if method == "one_pass":
-                x_local = jnp.einsum("kn,k->n", basis, y)
+                x_local = jnp.einsum("kn,...k->...n", basis, y)
             else:
                 x_local, _ = _reconstruction_scan(
                     matvec, b_local, decomp, y, emit_basis=False
@@ -191,11 +204,12 @@ class ShardedSparseOperator:
             return (x_local, decomp.alphas, decomp.betas,
                     decomp.steps_taken, decomp.b_norm)
 
+        x_spec = P(None, axis) if isinstance(f, tuple) else P(axis)
         shmapped = jax.shard_map(
             run,
             mesh=self.mesh,
             in_specs=(tuple([P(axis, None)] * 6), P(axis)),
-            out_specs=(P(axis), P(), P(), P(), P()),
+            out_specs=(x_spec, P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(shmapped)
@@ -257,7 +271,7 @@ class ShardedSparseOperator:
             matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
             decomp = LanczosDecomposition(
                 alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)
-            y = padded_f_e1(decomp, f)
+            y = _stacked_y_local(decomp, f)
             y = (y * b_norm).astype(b_local.dtype)
             x_local, _ = _reconstruction_scan(
                 matvec, b_local, decomp, y, emit_basis=False)
@@ -267,7 +281,7 @@ class ShardedSparseOperator:
             run, mesh=self.mesh,
             in_specs=(tuple([P(axis, None)] * 6), P(axis),
                       P(), P(), P(), P()),
-            out_specs=P(axis),
+            out_specs=P(None, axis) if isinstance(f, tuple) else P(axis),
             check_vma=False)
         return jax.jit(shmapped)
 
@@ -346,6 +360,9 @@ class ShardedSparseOperator:
         :meth:`pass_one_chunked`; a stop at step s runs a pass two compiled
         at scan length s, so the solve pays ceil(s/chunk)·chunk + s matvecs
         per device instead of 2k.
+
+        ``f`` may be a tuple of function specs — all evaluated from one
+        decomposition for one run's matvecs (``x`` gains a leading nf axis).
         """
         if callback is not None:
             if method != "two_pass":

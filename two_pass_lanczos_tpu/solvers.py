@@ -65,18 +65,28 @@ def _pass_one_jit(matvec_op, b, k: int, emit_basis: bool):
 
 
 def _run_f_solver(f_tk_solver, decomp: LanczosDecomposition):
-    """Call the user closure on the valid (α, β) prefix and validate."""
+    """Call the user closure(s) on the valid (α, β) prefix and validate.
+
+    ``f_tk_solver`` may be a single closure (returns a ``(steps,)`` vector)
+    or a sequence of closures — several matrix functions evaluated from the
+    same decomposition (returns a stacked ``(nf, steps)`` array; the solvers
+    then share the expensive basis work across all of them)."""
     steps = decomp.steps()
     alphas = decomp.alphas_valid()
     betas = decomp.betas_valid()
-    try:
-        y = f_tk_solver(alphas, betas)
-    except Exception as e:  # noqa: BLE001 — reference wraps any solver error
-        raise SolverError(str(e)) from e
-    y = np.asarray(y).reshape(-1)
-    if y.shape[0] != steps:
-        raise ParameterMismatchError("y_k_prime", steps, y.shape[0])
-    return y
+    multi = isinstance(f_tk_solver, (list, tuple))
+    solvers = list(f_tk_solver) if multi else [f_tk_solver]
+    ys = []
+    for solver in solvers:
+        try:
+            y = solver(alphas, betas)
+        except Exception as e:  # noqa: BLE001 — reference wraps any solver error
+            raise SolverError(str(e)) from e
+        y = np.asarray(y).reshape(-1)
+        if y.shape[0] != steps:
+            raise ParameterMismatchError("y_k_prime", steps, y.shape[0])
+        ys.append(y)
+    return np.stack(ys) if multi else ys[0]
 
 
 def _check_zero_b(decomp: LanczosDecomposition, b):
@@ -109,6 +119,8 @@ def lanczos(
     reconstruct ``x_k = V_k · y'_k · ‖b‖`` with a single GEMV.
 
     Reference parity: ``solvers::lanczos`` (``src/solvers.rs:46-105``).
+    ``f_tk_solver`` may also be a sequence of closures — several matrix
+    functions from the same basis (k matvecs total, result ``(nf, n)``).
 
     ``callback(steps, V_view, (alphas, betas)) -> bool`` enables the
     reference's per-iteration hook with true in-run early stopping (the
@@ -135,16 +147,17 @@ def lanczos(
         return jnp.zeros_like(b)  # reference parity: solvers.rs:64-66
     y = _run_f_solver(f_tk_solver, decomp)
     # Pad y to the static length k; rows of v_k beyond `steps` are zero.
-    y_full = np.zeros((k,), dtype=np.asarray(y).dtype)
-    y_full[:steps] = y
+    y_full = np.zeros(y.shape[:-1] + (k,), dtype=y.dtype)
+    y_full[..., :steps] = y
     y_dev = jnp.asarray(y_full).astype(b.dtype) * decomp.b_norm.astype(b.dtype)
     return _gemv_reconstruct(v_k, y_dev)
 
 
 @jax.jit
 def _gemv_reconstruct(v_k, y):
-    # x = V_kᵀ · y  with V stored (k, n): one MXU GEMV.
-    return jnp.einsum("kn,k->n", v_k, y)
+    # x = V_kᵀ · y  with V stored (k, n): one MXU GEMV (or GEMM for a
+    # (nf, k) multi-function y stack — nf solutions from one basis).
+    return jnp.einsum("kn,...k->...n", v_k, y)
 
 
 def lanczos_two_pass(
@@ -162,6 +175,11 @@ def lanczos_two_pass(
 
     Reference parity: ``solvers::lanczos_two_pass`` (``src/solvers.rs:133-175``):
     pass one → user ``f_tk_solver`` → scale by ‖b‖ → reconstruction pass.
+    ``f_tk_solver`` may be a sequence of closures: several matrix functions
+    evaluated from one decomposition — the reconstruction pass fans the
+    per-step accumulate out over all of them, so nf functions cost 2k
+    matvecs instead of 2k·nf (result stacked ``(nf, n)``, each slice
+    bit-identical to its single-function run).
     ``return_basis=True`` exposes the regenerated basis for the
     orthogonality/reconstruction-stability studies (reference
     ``lanczos_pass_two_with_basis``). ``callback`` enables live in-run early
@@ -199,8 +217,8 @@ def lanczos_two_pass(
             b_norm=decomp.b_norm,
         )
     k_eff = decomp.k_max
-    y_full = np.zeros((k_eff,), dtype=np.asarray(y).dtype)
-    y_full[:steps] = y
+    y_full = np.zeros(y.shape[:-1] + (k_eff,), dtype=y.dtype)
+    y_full[..., :steps] = y
     y_dev = jnp.asarray(y_full).astype(b.dtype) * decomp.b_norm.astype(b.dtype)
     if return_basis:
         x, basis = _pass_two_basis_jit(operator, b, decomp, y_dev)
@@ -235,20 +253,26 @@ def solve_fAb(
 ) -> jax.Array:
     """Single-jit f(A)·b for built-in matrix functions.
 
-    ``f`` ∈ {"exp", "inv"} or any scalar jnp-callable applied to the spectrum.
-    ``method`` ∈ {"one_pass", "two_pass"}. Fixed shapes throughout; breakdown
-    and zero-b degrade gracefully (zero output), making this safe inside
-    larger jitted programs and over sharded meshes.
+    ``f`` ∈ {"exp", "inv"} or any scalar jnp-callable applied to the
+    spectrum — or a TUPLE of those, evaluating several matrix functions
+    from one decomposition: the Krylov work (all the matvecs) is paid once
+    and the result is stacked ``(nf, n)``. ``method`` ∈ {"one_pass",
+    "two_pass"}. Fixed shapes throughout; breakdown and zero-b degrade
+    gracefully (zero output), making this safe inside larger jitted
+    programs and over sharded meshes.
     """
+    multi = isinstance(f, tuple)
     if method == "one_pass":
         decomp, v_k = pass_one_scan(operator.matvec, b, k, emit_basis=True)
-        y = padded_f_e1(decomp, f)
-        y = (y * decomp.b_norm).astype(b.dtype)
-        return jnp.einsum("kn,k->n", v_k, y)
     elif method == "two_pass":
         decomp, _ = pass_one_scan(operator.matvec, b, k, emit_basis=False)
-        y = padded_f_e1(decomp, f)
-        y = (y * decomp.b_norm).astype(b.dtype)
-        return lanczos_pass_two(operator, b, decomp, y)
     else:
         raise ValueError(f"unknown method {method!r}")
+    fs = f if multi else (f,)
+    y = jnp.stack([padded_f_e1(decomp, fi) for fi in fs])
+    if not multi:
+        y = y[0]
+    y = (y * decomp.b_norm).astype(b.dtype)
+    if method == "one_pass":
+        return jnp.einsum("kn,...k->...n", v_k, y)
+    return lanczos_pass_two(operator, b, decomp, y)
