@@ -1,0 +1,243 @@
+"""Fully reorthogonalized one-pass variant (``algorithms/reorth.py``).
+
+Beyond-reference capability: the reference ships the plain three-term
+recurrence only (``src/algorithms/mod.rs:167-212``) and its report *studies*
+the resulting orthogonality collapse; ``reorth=True`` fixes it where the
+basis is stored anyway (the one-pass variant). These tests pin:
+
+* orthogonality restored to working precision at large k on the hard
+  indefinite spectrum where the plain recurrence has visibly collapsed;
+* agreement with the plain recurrence in f64 at small k (where the CGS
+  corrections are O(eps));
+* the reference property-suite accuracy contracts (polynomial exactness,
+  analytic f(A)b tolerance) hold through the reorthogonalized path;
+* graceful breakdown / zero-b semantics identical to the plain path;
+* the distributed (row-sharded) form matches the single-device form;
+* the API guards (one-pass only, no callback mixing).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.one_pass import pass_one_scan
+from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+from two_pass_lanczos_tpu.errors import InputError
+from two_pass_lanczos_tpu.models.synthetic import create_diagonal_problem
+from two_pass_lanczos_tpu.operators import DiagonalOperator
+
+
+def _ortho_defect(basis, steps: int) -> float:
+    v = np.asarray(basis)[:steps].astype(np.float64)
+    g = v @ v.T
+    return float(np.max(np.abs(g - np.eye(steps))))
+
+
+def _problem(scenario, func, n=500, dtype=jnp.float64, seed=0):
+    op, eigs = create_diagonal_problem(n, scenario, func, dtype=dtype)
+    rng = np.random.default_rng(seed)
+    b = jnp.asarray(rng.standard_normal(n), dtype)
+    return op, eigs, b
+
+
+class TestOrthogonality:
+    def test_restored_at_large_k_f32(self):
+        """The headline property: at k=150 on the indefinite inv/ill
+        spectrum the plain f32 basis has lost orthogonality by orders of
+        magnitude; CGS2 restores it to working precision."""
+        op, _, b = _problem("ill-conditioned", "inv", dtype=jnp.float32)
+        k = 150
+        d0, v0 = pass_one_scan(op.matvec, b, k, emit_basis=True)
+        d1, v1 = pass_one_scan_reorth(op.matvec, b, k)
+        assert int(d0.steps_taken) == k and int(d1.steps_taken) == k
+        plain = _ortho_defect(v0, k)
+        reorth = _ortho_defect(v1, k)
+        assert plain > 1e-2, f"plain basis unexpectedly orthogonal: {plain:.2e}"
+        assert reorth < 5e-6, f"reorth defect {reorth:.2e}"
+
+    def test_extra_sweeps_accepted(self):
+        op, _, b = _problem("ill-conditioned", "inv", dtype=jnp.float32)
+        _, v = pass_one_scan_reorth(op.matvec, b, 60, sweeps=3)
+        assert _ortho_defect(v, 60) < 5e-6
+
+
+class TestAgreementWithPlain:
+    def test_f64_small_k_coefficients_match(self):
+        """In f64 at small k the plain recurrence is still orthogonal, so
+        the CGS corrections are O(eps) and (α, β) coincide to rounding."""
+        op, _, b = _problem("well-conditioned", "inv")
+        k = 20
+        d0, _ = pass_one_scan(op.matvec, b, k, emit_basis=True)
+        d1, _ = pass_one_scan_reorth(op.matvec, b, k)
+        np.testing.assert_allclose(np.asarray(d1.alphas), np.asarray(d0.alphas),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(d1.betas), np.asarray(d0.betas),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_f32_stability_at_large_k(self):
+        """On the indefinite spectrum the plain f32 error is ERRATIC in k
+        past convergence stagnation (forward instability — it jumps over
+        an order of magnitude between nearby k; see
+        ``results/reorth_inv_ill-conditioned_f32.csv``), while the
+        reorthogonalized error is a stable function of k at the f32
+        attainable floor set by the 1e-8 critical eigenvalue. Note the
+        plain error is not uniformly worse — ghost-driven re-convergence
+        can dip below the reorth floor at very large k — so the pinned
+        property is *stability*, not dominance."""
+        op, eigs, b = _problem("ill-conditioned", "inv", dtype=jnp.float32)
+        x_true = (1.0 / eigs) * np.asarray(b, np.float64)
+        nrm = np.linalg.norm(x_true)
+
+        def err(k, reorth):
+            x = tpl.solve_fAb(op, b, k=k, f="inv", method="one_pass",
+                              reorth=reorth)
+            return np.linalg.norm(np.asarray(x, np.float64) - x_true) / nrm
+
+        ks = [240, 280, 320, 360]
+        errs_p = [err(k, False) for k in ks]
+        errs_r = [err(k, True) for k in ks]
+        spread_p = max(errs_p) / min(errs_p)
+        spread_r = max(errs_r) / min(errs_r)
+        assert max(errs_r) < 0.5, f"reorth errors {errs_r}"
+        assert spread_r < 1.5, f"reorth error not stable in k: {errs_r}"
+        assert spread_p > 3.0, (
+            f"plain f32 unexpectedly stable ({errs_p}) — the scenario no "
+            "longer exhibits the instability this test documents")
+
+
+class TestAccuracyContracts:
+    def test_polynomial_exactness(self):
+        """Degree-d polynomials are exact once k > d (reference property
+        tolerance 1e-12, ``src/algorithms/mod.rs:360``)."""
+        op, eigs, b = _problem("well-conditioned", "inv", n=200)
+        coeffs = [0.3, -1.2, 0.5, 0.01]  # degree 3
+        x = tpl.lanczos(op, b, 8, tpl.make_poly_solver(coeffs), reorth=True)
+        lam = np.asarray(eigs)
+        f_lam = sum(c * lam**i for i, c in enumerate(coeffs))
+        x_true = f_lam * np.asarray(b, np.float64)
+        rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+        assert rel < 1e-12
+
+    @pytest.mark.parametrize("func", ["inv", "exp"])
+    def test_analytic_accuracy(self, func):
+        """The reference correctness setup (n=100, eigs 1..100, k=30,
+        tol 1e-3 — ``tests/correctness.rs:36-51``) through reorth."""
+        n = 100
+        eigs = np.arange(1.0, n + 1.0)
+        rng = np.random.default_rng(12345)
+        b_np = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(eigs))
+        b = jnp.asarray(b_np)
+        solver = tpl.make_inv_solver() if func == "inv" else tpl.make_exp_solver()
+        x = tpl.lanczos(op, b, 30, solver, reorth=True)
+        f = (lambda e: 1.0 / e) if func == "inv" else np.exp
+        x_true = f(eigs) * b_np
+        rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+        assert rel < 1e-3
+
+    def test_solve_fAb_matches_host_path(self):
+        op, _, b = _problem("well-conditioned", "inv")
+        x_host = tpl.lanczos(op, b, 30, tpl.make_inv_solver(), reorth=True)
+        x_jit = tpl.solve_fAb(op, b, k=30, f="inv", method="one_pass",
+                              reorth=True)
+        np.testing.assert_allclose(np.asarray(x_jit), np.asarray(x_host),
+                                   rtol=0, atol=1e-12 * np.abs(x_host).max())
+
+    def test_multi_f_through_reorth(self):
+        op, _, b = _problem("well-conditioned", "inv")
+        x_pair = tpl.solve_fAb(op, b, k=30, f=("inv", "exp"),
+                               method="one_pass", reorth=True)
+        assert x_pair.shape == (2,) + b.shape
+        for i, f in enumerate(("inv", "exp")):
+            x_one = tpl.solve_fAb(op, b, k=30, f=f, method="one_pass",
+                                  reorth=True)
+            # stacked vs single GEMV contraction order differs at rounding
+            np.testing.assert_allclose(
+                np.asarray(x_pair[i]), np.asarray(x_one), rtol=0,
+                atol=1e-13 * np.abs(np.asarray(x_one)).max())
+
+
+class TestDegenerateInputs:
+    def test_breakdown_invariant_subspace(self):
+        """b supported on d eigenvectors => exact invariant subspace at
+        step d: graceful truncation (steps_taken == d), exact solve, and
+        frozen (zero) basis rows beyond d — same contract as the plain
+        path (tol 1000*eps, never an in-jit exception)."""
+        n, d, k = 64, 5, 12
+        eigs = np.linspace(1.0, 2.0, n)
+        op = DiagonalOperator(jnp.asarray(eigs))
+        b_np = np.zeros(n)
+        b_np[:d] = [1.0, -2.0, 0.5, 3.0, -1.5]
+        b = jnp.asarray(b_np)
+        decomp, basis = pass_one_scan_reorth(op.matvec, b, k)
+        assert int(decomp.steps_taken) == d
+        np.testing.assert_array_equal(np.asarray(basis)[d:], 0.0)
+        x = tpl.solve_fAb(op, b, k=k, f="inv", method="one_pass", reorth=True)
+        x_true = (1.0 / eigs) * b_np
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=0, atol=1e-12)
+
+    def test_zero_b(self):
+        op = DiagonalOperator(jnp.ones(16))
+        x = tpl.solve_fAb(op, jnp.zeros(16), k=4, f="inv",
+                          method="one_pass", reorth=True)
+        np.testing.assert_array_equal(np.asarray(x), 0.0)
+
+
+class TestApiGuards:
+    def test_reorth_requires_one_pass(self):
+        op, _, b = _problem("well-conditioned", "inv", n=32)
+        with pytest.raises(ValueError, match="one_pass"):
+            tpl.solve_fAb(op, b, k=4, f="inv", method="two_pass", reorth=True)
+
+    def test_reorth_rejects_callback(self):
+        op, _, b = _problem("well-conditioned", "inv", n=32)
+        with pytest.raises(InputError, match="callback"):
+            tpl.lanczos(op, b, 4, tpl.make_inv_solver(), reorth=True,
+                        callback=lambda *a: True)
+
+    def test_bad_params(self):
+        op = DiagonalOperator(jnp.ones(8))
+        b = jnp.ones(8)
+        with pytest.raises(ValueError):
+            pass_one_scan_reorth(op.matvec, b, 0)
+        with pytest.raises(ValueError):
+            pass_one_scan_reorth(op.matvec, b, 4, sweeps=0)
+
+
+class TestSharded:
+    @pytest.mark.parametrize("ndev", [1, 2, 8])
+    def test_matches_single_device(self, ndev):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedSparseOperator, make_mesh,
+        )
+
+        n, k = 700, 25
+        op, eigs = create_diagonal_problem(n, "well-conditioned", "inv")
+        rng = np.random.default_rng(42)
+        b = rng.standard_normal(n)
+        idx = np.arange(n)
+        sop = ShardedSparseOperator(n, idx, idx, eigs, make_mesh(ndev))
+        x_single = np.asarray(tpl.solve_fAb(op, jnp.asarray(b), k=k, f="inv",
+                                            method="one_pass", reorth=True))
+        x_dist, decomp = sop.solve_fAb(b, k=k, f="inv", method="one_pass",
+                                       reorth=True)
+        rel = np.linalg.norm(x_dist - x_single) / np.linalg.norm(x_single)
+        assert rel < 1e-9, f"{ndev}-device reorth deviation {rel:.3e}"
+        assert decomp.steps() == k
+
+    def test_guards(self):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedSparseOperator, make_mesh,
+        )
+
+        n = 64
+        eigs = np.linspace(1.0, 2.0, n)
+        idx = np.arange(n)
+        sop = ShardedSparseOperator(n, idx, idx, eigs, make_mesh(2))
+        b = np.ones(n)
+        with pytest.raises(ValueError, match="one_pass"):
+            sop.solve_fAb(b, k=4, f="inv", method="two_pass", reorth=True)
+        with pytest.raises(ValueError, match="callback"):
+            sop.solve_fAb(b, k=4, f="inv", method="one_pass", reorth=True,
+                          callback=lambda *a: True)

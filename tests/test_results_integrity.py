@@ -39,6 +39,10 @@ EXPECTED = {
     "tradeoff_arcs500k_rho3.csv": TRADEOFF_HDR,
     "scalability_k500_rho3.csv": SCAL_HDR,
     "dense_tradeoff.csv": TRADEOFF_HDR,
+    # beyond-reference artifact: experiments/reorth_study.py
+    "reorth_inv_ill-conditioned_f32.csv": [
+        "k", "relative_error_plain", "relative_error_reorth",
+        "ortho_defect_plain", "ortho_defect_reorth"],
 }
 
 
@@ -130,6 +134,25 @@ def test_transition_artifact_complete():
     # the settled claim: median at k=200 is the reference's order (~1e-5/-6)
     assert float(at200["median_relative_error_standard"]) < 5e-5
     assert (RESULTS / "images" / "transition_inv_ill-conditioned.pdf").exists()
+
+
+def test_reorth_artifact_story():
+    """The published reorth study carries its documented claims: CGS2
+    keeps the basis orthonormal at every k (plain collapses), and past
+    stagnation the reorth error is a stable function of k while the
+    plain error jumps erratically (README "Full reorthogonalization")."""
+    rows = list(csv.DictReader(open(RESULTS /
+                                    "reorth_inv_ill-conditioned_f32.csv")))
+    assert int(rows[-1]["k"]) >= 400
+    defects_r = [float(r["ortho_defect_reorth"]) for r in rows]
+    defects_p = [float(r["ortho_defect_plain"]) for r in rows]
+    assert max(defects_r) < 1e-5
+    assert max(defects_p) > 1e-2
+    tail = [r for r in rows if int(r["k"]) >= 160]
+    errs_r = [float(r["relative_error_reorth"]) for r in tail]
+    errs_p = [float(r["relative_error_plain"]) for r in tail]
+    assert max(errs_r) / min(errs_r) < 1.5, "reorth error not stable in k"
+    assert max(errs_p) / min(errs_p) > 5.0, "plain error unexpectedly stable"
 
 
 def test_bench_json_contract():

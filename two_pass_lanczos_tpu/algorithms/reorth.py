@@ -1,0 +1,151 @@
+"""Fully reorthogonalized one-pass Lanczos (beyond-reference capability).
+
+The reference deliberately ships the plain three-term recurrence with no
+reorthogonalization (``src/algorithms/mod.rs:167-212``; its report studies
+the resulting orthogonality loss rather than fixing it). That is the right
+parity choice — and it leaves the known forward-instability limit in place:
+any f32 Lanczos loses orthogonality on indefinite/clustered spectra by
+k ≈ 100, after which f(A)b error stagnates or grows (documented in
+REPORT.md and the verify notes).
+
+This module is the opt-in fix for the one-pass variant, where the basis is
+stored anyway: classical Gram-Schmidt against the full stored basis, done
+``sweeps`` times per step ("twice is enough", Kahan–Parlett — CGS2 restores
+orthogonality to working precision). Expressed the TPU way:
+
+* the (k, n) basis lives in the scan **carry** — XLA aliases the carry
+  across iterations, so it is ONE buffer updated in place by
+  ``dynamic_update_index_in_dim``, not k copies;
+* each sweep is two (k, n) contractions — ``proj = conj(V)·w`` and
+  ``w -= Vᵀ·proj`` — i.e. MXU GEMVs over the *entire* fixed-shape basis.
+  Rows beyond the current step are zero and contribute nothing, which
+  keeps the scan body shape-static (no data-dependent slicing);
+* the classical α correction folds ``proj[j]`` (the residual component
+  along v_j after the explicit α·v_j subtraction) back into α, so T_k
+  stays the Rayleigh–Ritz projection of A onto the *orthogonalized* basis.
+
+Cost: 2·sweeps extra basis GEMVs per step ≈ O(k²n) total, vs O(kn) for the
+plain recurrence — the standard full-reorthogonalization trade. Memory is
+unchanged (the one-pass variant already stores V_k).
+
+Not offered for the two-pass variant: pass two regenerates the basis from
+(α, β) precisely so that no O(nk) state exists; reorthogonalizing would
+require that state, which is exactly the one-pass variant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from two_pass_lanczos_tpu.algorithms.core import (
+    LanczosCarry,
+    LanczosDecomposition,
+    breakdown_tolerance,
+    init_carry,
+    l2_norm,
+    zero_tolerance,
+)
+
+__all__ = ["pass_one_scan_reorth", "make_pass_one_step_reorth"]
+
+
+def _real_dtype(dtype):
+    return jnp.finfo(dtype).dtype
+
+
+def make_pass_one_step_reorth(matvec, dtype, *, sweeps: int = 2,
+                              reduce_sum=None):
+    """Scan-step factory: plain recurrence + ``sweeps`` CGS sweeps.
+
+    The carry is ``(LanczosCarry, basis)`` with ``basis`` of shape (k, n);
+    at entry to step j rows [0, j) hold v_1..v_j and row j is written with
+    v_{j+1} (= ``carry.v_curr``) before the projections, so w is
+    orthogonalized against every Lanczos vector produced so far.
+
+    ``reduce_sum`` finishes partial reductions across devices (works on the
+    (k,)-shaped projection vector as well as scalars — ``lax.psum`` is
+    elementwise), so the same step distributes under ``shard_map`` with the
+    basis row-sharded along n.
+    """
+    tol = breakdown_tolerance(dtype)
+    rdt = _real_dtype(dtype)
+
+    def step(carry, j):
+        lc, basis = carry
+        executed = jnp.logical_not(lc.done)
+        dt = lc.v_curr.dtype
+
+        # Enter v_{j+1} into row j (frozen after breakdown/stop so later
+        # projections and the emitted basis keep zeros beyond steps_taken).
+        row = jnp.where(executed, lc.v_curr, basis[j])
+        basis = jax.lax.dynamic_update_index_in_dim(basis, row, j, 0)
+
+        # Identical leading FP sequence to the plain recurrence
+        # (core.lanczos_recurrence_step), then the CGS sweeps before ‖w‖.
+        w = matvec(lc.v_curr)
+        w = w - lc.beta_prev.astype(dt) * lc.v_prev
+        alpha_partial = jnp.real(jnp.vdot(lc.v_curr, w))
+        if reduce_sum is not None:
+            alpha_partial = reduce_sum(alpha_partial)
+        alpha = alpha_partial.astype(rdt)
+        w = w - alpha.astype(dt) * lc.v_curr
+
+        for s in range(sweeps):
+            proj = jnp.einsum("kn,n->k", jnp.conj(basis), w)
+            if reduce_sum is not None:
+                proj = reduce_sum(proj)
+            w = w - jnp.einsum("kn,k->n", basis, proj.astype(dt))
+            if s == 0:
+                # classical correction: the residual component along v_{j+1}
+                alpha = alpha + jnp.real(proj[j]).astype(rdt)
+
+        beta = l2_norm(w, reduce_sum)
+        breakdown = beta <= jnp.asarray(tol, rdt)
+        advance = jnp.logical_and(executed, jnp.logical_not(breakdown))
+
+        alpha_out = jnp.where(executed, alpha, jnp.zeros((), rdt))
+        beta_out = jnp.where(advance, beta, jnp.zeros((), rdt))
+
+        inv_beta = jnp.where(advance, 1.0 / beta, jnp.zeros((), rdt))
+        v_next = w * inv_beta.astype(dt)
+
+        new_lc = LanczosCarry(
+            v_prev=jnp.where(advance, lc.v_curr, lc.v_prev),
+            v_curr=jnp.where(advance, v_next, lc.v_curr),
+            beta_prev=jnp.where(advance, beta, lc.beta_prev),
+            done=jnp.logical_or(lc.done, breakdown),
+            steps=lc.steps + executed.astype(jnp.int32),
+        )
+        return (new_lc, basis), (alpha_out, beta_out)
+
+    return step
+
+
+def pass_one_scan_reorth(matvec, b: jax.Array, k: int, *, sweeps: int = 2,
+                         reduce_sum=None):
+    """Reorthogonalized pass one: ``k`` steps as one ``lax.scan``.
+
+    Same contract as ``pass_one_scan(..., emit_basis=True)`` — returns
+    ``(decomposition, basis)`` with basis row i = v_{i+1}, zeros beyond
+    ``steps_taken`` — but the emitted basis is orthonormal to working
+    precision regardless of k and the (α, β) are the projections onto that
+    orthonormal basis.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
+    b_norm = l2_norm(b, reduce_sum)
+    lc0 = init_carry(b, b_norm, zero_tolerance(b.dtype))
+    basis0 = jnp.zeros((k,) + b.shape, b.dtype)
+    step = make_pass_one_step_reorth(
+        matvec, b.dtype, sweeps=sweeps, reduce_sum=reduce_sum
+    )
+    (lc, basis), (alphas, betas) = jax.lax.scan(
+        step, (lc0, basis0), jnp.arange(k)
+    )
+    decomp = LanczosDecomposition(
+        alphas=alphas, betas=betas, steps_taken=lc.steps, b_norm=b_norm
+    )
+    return decomp, basis

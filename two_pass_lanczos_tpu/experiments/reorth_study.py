@@ -1,0 +1,116 @@
+"""Forward-instability study: plain vs reorthogonalized one-pass (f32).
+
+Beyond the reference: its report *documents* the large-k orthogonality
+collapse of the plain three-term recurrence (the phenomenon behind
+``src/bin/orthogonality.rs`` and the f64 requirement of
+``src/bin/stability.rs``) but ships no fix. This CLI publishes the
+comparison that motivates ``reorth=True`` (``algorithms/reorth.py``): per
+k, the one-pass solve is run twice from the same seeded b — the plain
+recurrence and the CGS2-reorthogonalized one — in the dtype where the
+instability actually lives (f32, the TPU-native precision; ``--dtype
+f64`` reproduces the "both fine" control).
+
+CSV schema (new artifact, guarded by ``test_results_integrity.py``)::
+
+    k,relative_error_plain,relative_error_reorth,ortho_defect_plain,ortho_defect_reorth
+
+where ``relative_error_*`` is vs the analytic diagonal ground truth
+(f64 host arithmetic) and ``ortho_defect_*`` is ``max|V·Vᵀ − I|`` over the
+executed steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--function", choices=["exp", "inv"], required=True)
+    p.add_argument(
+        "--scenario", choices=["well-conditioned", "ill-conditioned"], required=True
+    )
+    p.add_argument("--size", type=int, default=2000)
+    p.add_argument("--k-min", type=int, default=20)
+    p.add_argument("--k-max", type=int, default=400)
+    p.add_argument("--k-step", type=int, default=20)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sweeps", type=int, default=2)
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32",
+                   help="f32 (default) exhibits the instability; f64 is the "
+                        "control where both variants coincide")
+    p.add_argument("--device", action="store_true",
+                   help="run on the default accelerator instead of CPU")
+    p.add_argument("--output", required=True)
+    return p
+
+
+def main(argv=None) -> int:
+    from two_pass_lanczos_tpu.experiments.common import (
+        setup_logging, write_csv, log,
+    )
+
+    args = build_parser().parse_args(argv)
+    setup_logging()
+
+    import jax
+
+    if not args.device:
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from two_pass_lanczos_tpu.algorithms.one_pass import pass_one_scan
+    from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+    from two_pass_lanczos_tpu.functions import padded_f_e1
+    from two_pass_lanczos_tpu.models.synthetic import create_diagonal_problem
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    op, eigs = create_diagonal_problem(
+        args.size, args.scenario, args.function, dtype=dtype)
+    rng = np.random.default_rng(args.seed)
+    b_np = rng.standard_normal(args.size)
+    b = jnp.asarray(b_np, dtype)
+
+    f_scalar = np.exp if args.function == "exp" else (lambda e: 1.0 / e)
+    x_true = f_scalar(eigs) * b_np
+    true_norm = np.linalg.norm(x_true)
+
+    def run(k: int, reorth: bool):
+        if reorth:
+            decomp, basis = pass_one_scan_reorth(
+                op.matvec, b, k, sweeps=args.sweeps)
+        else:
+            decomp, basis = pass_one_scan(op.matvec, b, k, emit_basis=True)
+        y = padded_f_e1(decomp, args.function) * decomp.b_norm
+        x = jnp.einsum("kn,k->n", basis, y.astype(basis.dtype))
+        s = int(decomp.steps_taken)
+        v = np.asarray(basis, np.float64)[:s]
+        defect = float(np.max(np.abs(v @ v.T - np.eye(s)))) if s else 0.0
+        err = float(
+            np.linalg.norm(np.asarray(x, np.float64) - x_true) / true_norm)
+        return err, defect
+
+    rows = []
+    for k in range(args.k_min, args.k_max + 1, args.k_step):
+        err_p, def_p = run(k, reorth=False)
+        err_r, def_r = run(k, reorth=True)
+        log.info("k=%d plain err=%.3e defect=%.3e | reorth err=%.3e "
+                 "defect=%.3e", k, err_p, def_p, err_r, def_r)
+        rows.append((k, err_p, err_r, def_p, def_r))
+
+    write_csv(
+        args.output,
+        ["k", "relative_error_plain", "relative_error_reorth",
+         "ortho_defect_plain", "ortho_defect_reorth"],
+        rows,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

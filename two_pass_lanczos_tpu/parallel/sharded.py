@@ -180,17 +180,28 @@ class ShardedSparseOperator:
         return x[..., : self.part.n_orig]
 
     # ------------------------------------------------------------------
-    def _build_solve(self, k: int, f, method: str):
+    def _build_solve(self, k: int, f, method: str, reorth: bool = False):
         axis, rows_per = self.axis, self.part.rows_per
 
         def run(blocks, b_local):
             blocks = tuple(a[0] for a in blocks)  # strip sharded leading dim
             matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
             reduce_sum = lambda s: lax.psum(s, axis)
-            emit = method == "one_pass"
-            decomp, basis = pass_one_scan(
-                matvec, b_local, k, emit_basis=emit, reduce_sum=reduce_sum
-            )
+            if reorth:
+                # basis rows are n-sharded like every Krylov vector; the
+                # CGS projections psum (k,)-shaped partials per sweep
+                from two_pass_lanczos_tpu.algorithms.reorth import (
+                    pass_one_scan_reorth,
+                )
+
+                decomp, basis = pass_one_scan_reorth(
+                    matvec, b_local, k, reduce_sum=reduce_sum
+                )
+            else:
+                emit = method == "one_pass"
+                decomp, basis = pass_one_scan(
+                    matvec, b_local, k, emit_basis=emit, reduce_sum=reduce_sum
+                )
             # replicated k×k solve on every device; a tuple f evaluates a
             # stack of functions from the same decomposition (multi-f)
             y = _stacked_y_local(decomp, f)
@@ -214,10 +225,10 @@ class ShardedSparseOperator:
         )
         return jax.jit(shmapped)
 
-    def _solver(self, k: int, f, method: str):
-        key = (k, f, method)
+    def _solver(self, k: int, f, method: str, reorth: bool = False):
+        key = (k, f, method, reorth)
         if key not in self._solve_cache:
-            self._solve_cache[key] = self._build_solve(k, f, method)
+            self._solve_cache[key] = self._build_solve(k, f, method, reorth)
         return self._solve_cache[key]
 
     # -- chunked pass one (live early-stop callback) --------------------
@@ -347,7 +358,8 @@ class ShardedSparseOperator:
         return decomp, stopped
 
     def solve_fAb(self, b, *, k: int, f="exp", method: str = "two_pass",
-                  raw: bool = False, callback=None, callback_chunk: int = 16):
+                  raw: bool = False, callback=None, callback_chunk: int = 16,
+                  reorth: bool = False):
         """Distributed f(A)·b. Returns ``(x, decomposition)``.
 
         ``x`` is a NumPy array in original row order; the decomposition's
@@ -363,7 +375,20 @@ class ShardedSparseOperator:
 
         ``f`` may be a tuple of function specs — all evaluated from one
         decomposition for one run's matvecs (``x`` gains a leading nf axis).
+
+        ``reorth=True`` (one-pass only, beyond the reference) runs the
+        fully reorthogonalized recurrence (``algorithms/reorth.py``) with
+        the basis row-sharded along n — each CGS sweep psums one
+        (k,)-vector of projection partials per step.
         """
+        if reorth:
+            if method != "one_pass":
+                raise ValueError(
+                    "reorth=True requires method='one_pass' (the stored "
+                    "basis it orthogonalizes against is the one-pass state)")
+            if callback is not None:
+                raise ValueError(
+                    "reorth=True is not supported together with callback=")
         if callback is not None:
             if method != "two_pass":
                 raise ValueError(
@@ -387,9 +412,8 @@ class ShardedSparseOperator:
                 return x_perm, decomp
             return self._restore_x(x_perm), decomp
         b_local = self._prepare_b(b)
-        x_perm, alphas, betas, steps, b_norm = self._solver(k, f, method)(
-            self.local_blocks, b_local
-        )
+        x_perm, alphas, betas, steps, b_norm = self._solver(
+            k, f, method, reorth)(self.local_blocks, b_local)
         if raw:
             return x_perm, LanczosDecomposition(
                 alphas=alphas, betas=betas, steps_taken=steps, b_norm=b_norm)

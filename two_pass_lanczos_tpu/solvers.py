@@ -64,6 +64,13 @@ def _pass_one_jit(matvec_op, b, k: int, emit_basis: bool):
     return pass_one_scan(matvec_op.matvec, b, k, emit_basis=emit_basis)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _pass_one_reorth_jit(matvec_op, b, k: int, sweeps: int):
+    from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+
+    return pass_one_scan_reorth(matvec_op.matvec, b, k, sweeps=sweeps)
+
+
 def _run_f_solver(f_tk_solver, decomp: LanczosDecomposition):
     """Call the user closure(s) on the valid (α, β) prefix and validate.
 
@@ -114,6 +121,8 @@ def lanczos(
     callback: Callable = None,
     callback_chunk: int = 16,
     strict_breakdown: bool = False,
+    reorth: bool = False,
+    reorth_sweeps: int = 2,
 ) -> jax.Array:
     """One-pass f(A)·b: run ``lanczos_standard``, solve the projected problem,
     reconstruct ``x_k = V_k · y'_k · ‖b‖`` with a single GEMV.
@@ -129,10 +138,25 @@ def lanczos(
     ``strict_breakdown=True`` raises :class:`BreakdownError` instead of
     truncating gracefully when the Krylov subspace becomes invariant
     before ``k`` steps.
+
+    ``reorth=True`` (beyond the reference) fully reorthogonalizes each new
+    vector against the stored basis (``reorth_sweeps`` CGS sweeps, default
+    2 = CGS2) — the fix for the large-k forward instability the plain
+    recurrence is documented to suffer on indefinite spectra, at
+    O(k²n) extra MXU work (``algorithms/reorth.py``). One-pass only: the
+    basis it needs is the one this variant already stores.
     """
     b = jnp.asarray(b)
     _validate_inputs(operator, b, k)
-    if callback is not None:
+    if reorth:
+        if callback is not None:
+            raise InputError(
+                "reorth=True is not supported together with callback= (the "
+                "chunked early-stop driver runs the plain recurrence); use "
+                "a plain run to locate the stopping step, or reorth without "
+                "a callback.")
+        decomp, v_k = _pass_one_reorth_jit(operator, b, k, reorth_sweeps)
+    elif callback is not None:
         from two_pass_lanczos_tpu.algorithms.chunked import lanczos_standard_chunked
 
         decomp, v_k = lanczos_standard_chunked(
@@ -242,7 +266,7 @@ def _pass_two_basis_jit(operator, b, decomp, y):
 # Fully-jittable fast path
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k", "f", "method"))
+@partial(jax.jit, static_argnames=("k", "f", "method", "reorth"))
 def solve_fAb(
     operator: LinearOperator,
     b: jax.Array,
@@ -250,6 +274,7 @@ def solve_fAb(
     k: int,
     f="exp",
     method: str = "two_pass",
+    reorth: bool = False,
 ) -> jax.Array:
     """Single-jit f(A)·b for built-in matrix functions.
 
@@ -260,10 +285,25 @@ def solve_fAb(
     "two_pass"}. Fixed shapes throughout; breakdown and zero-b degrade
     gracefully (zero output), making this safe inside larger jitted
     programs and over sharded meshes.
+
+    ``reorth=True`` (one-pass only, beyond the reference) runs the fully
+    reorthogonalized recurrence of ``algorithms/reorth.py`` — accurate at
+    large k on the spectra where the plain recurrence's orthogonality
+    collapses, for O(k²n) extra MXU work.
     """
     multi = isinstance(f, tuple)
+    if reorth and method != "one_pass":
+        raise ValueError(
+            "reorth=True requires method='one_pass' (reorthogonalization "
+            "needs the stored basis; two-pass exists precisely to avoid "
+            "storing it)")
     if method == "one_pass":
-        decomp, v_k = pass_one_scan(operator.matvec, b, k, emit_basis=True)
+        if reorth:
+            from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+
+            decomp, v_k = pass_one_scan_reorth(operator.matvec, b, k)
+        else:
+            decomp, v_k = pass_one_scan(operator.matvec, b, k, emit_basis=True)
     elif method == "two_pass":
         decomp, _ = pass_one_scan(operator.matvec, b, k, emit_basis=False)
     else:
