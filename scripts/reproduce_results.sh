@@ -65,6 +65,15 @@ with open(f"{out}/accuracy_inv_ill_transition_median.csv", "w", newline="") as f
 PYEOF
 python python/plot_transition.py "$OUT/accuracy_inv_ill_transition_median.csv" "$OUT/images"
 
+# beyond-reference: plain vs fully-reorthogonalized one-pass in f32 (the
+# dtype where the instability lives) + plot (REPORT.md §12)
+$RUN two_pass_lanczos_tpu.experiments.reorth_study \
+  --function inv --scenario ill-conditioned --size 500 \
+  --k-min 20 --k-max 500 --k-step 20 \
+  --output "$OUT/reorth_inv_ill-conditioned_f32.csv"
+python python/plot_reorth.py "$OUT/reorth_inv_ill-conditioned_f32.csv" \
+  "$OUT/images/reorth_inv_ill-conditioned_f32.pdf"
+
 for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")
   $RUN two_pass_lanczos_tpu.experiments.tradeoff \

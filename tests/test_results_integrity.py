@@ -153,6 +153,8 @@ def test_reorth_artifact_story():
     errs_p = [float(r["relative_error_plain"]) for r in tail]
     assert max(errs_r) / min(errs_r) < 1.5, "reorth error not stable in k"
     assert max(errs_p) / min(errs_p) > 5.0, "plain error unexpectedly stable"
+    assert (RESULTS / "images" /
+            "reorth_inv_ill-conditioned_f32.pdf").exists()
 
 
 def test_bench_json_contract():
