@@ -1,0 +1,154 @@
+"""Spectral-analysis utilities (two_pass_lanczos_tpu.spectrum).
+
+The reference stores (α, β) (``src/algorithms/mod.rs:94-108``) but only ever
+evaluates f(T_k)e₁; these tests pin the extra analyses the same data buys:
+Ritz values/pairs, the β_s·|S_{s,j}| residual identity (checked against an
+explicitly reconstructed Ritz vector and a real matvec), Lanczos–Gauss
+quadrature for bᵀf(A)b, and the Gauss–Radau bracket for bᵀA⁻¹b on SPD A.
+Diagonal operators make every ground truth analytic (the reference's own
+test methodology, ``tests/correctness.rs:1-23``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.spectrum import (
+    gauss_radau_bracket,
+    quadratic_form,
+    ritz_pairs,
+    ritz_residual_bounds,
+    ritz_values,
+    tridiagonal_valid,
+)
+
+
+def _diag_problem(n=200, lo=0.1, hi=100.0, seed=0):
+    d = np.linspace(lo, hi, n)
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(n)
+    return tpl.DiagonalOperator(jnp.asarray(d, jnp.float64)), jnp.asarray(
+        b, jnp.float64), d, b
+
+
+def test_tridiagonal_valid_shapes_and_dtype():
+    op, b_dev, _, _ = _diag_problem()
+    decomp = tpl.lanczos_pass_one(op, b_dev, 17)
+    d, e = tridiagonal_valid(decomp)
+    assert d.shape == (17,) and e.shape == (16,)
+    assert d.dtype == np.float64 and e.dtype == np.float64
+
+
+def test_ritz_values_exact_at_full_dimension():
+    """k = n on distinct eigenvalues: T_n is similar to A, Ritz == spectrum."""
+    n = 24
+    d = np.linspace(1.0, 2.0, n)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n)
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    decomp = tpl.lanczos_pass_one(op, jnp.asarray(b, jnp.float64), n)
+    theta = ritz_values(decomp)
+    assert theta.shape == (decomp.steps(),)
+    np.testing.assert_allclose(theta, np.sort(d)[: theta.size], rtol=1e-10)
+
+
+def test_extreme_ritz_values_converge_first():
+    op, b_dev, d, _ = _diag_problem()
+    errs = []
+    for k in (20, 40, 80):
+        theta = ritz_values(tpl.lanczos_pass_one(op, b_dev, k))
+        errs.append(abs(theta[-1] - d.max()) / d.max())
+        assert theta[0] >= d.min() - 1e-12  # Ritz values stay in the field
+        assert theta[-1] <= d.max() + 1e-10
+    # the top Ritz value tightens monotonically with k (uniform-gap
+    # spectrum: modest rate, but strict improvement)
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 1e-9
+
+
+def test_ritz_residual_identity_against_real_matvec():
+    """β_s·|S_{s,j}| equals ‖A·u_j − θ_j·u_j‖ with u_j built from the
+    one-pass basis — the Lanczos-relation identity, at f64 working
+    precision for modest k (pre-orthogonality-loss)."""
+    op, b_dev, d, _ = _diag_problem(lo=1.0, hi=10.0)
+    k = 20
+    decomp, basis = tpl.lanczos_standard(op, b_dev, k)
+    theta, s_vecs = ritz_pairs(decomp)
+    bounds = ritz_residual_bounds(decomp)
+    v = np.asarray(basis)[: decomp.steps()]  # (s, n), row i = v_{i+1}
+    for j in [0, k // 2, k - 1]:
+        u = v.T @ s_vecs[:, j]
+        resid = np.linalg.norm(d * u - theta[j] * u)
+        assert bounds[j] == pytest.approx(resid, rel=1e-8, abs=1e-12)
+
+
+def test_quadratic_form_matches_direct():
+    op, b_dev, d, b = _diag_problem(lo=1.0, hi=10.0)
+    for f, truth in [("inv", float(b @ (b / d))),
+                     ("exp", float(b @ (np.exp(-d) * b)))]:
+        fn = f if f == "inv" else (lambda x: np.exp(-x))
+        decomp = tpl.lanczos_pass_one(op, b_dev, 60)
+        est = quadratic_form(decomp, fn)
+        assert est == pytest.approx(truth, rel=1e-10), f
+
+
+def test_gauss_radau_bracket_encloses_and_tightens():
+    op, b_dev, d, b = _diag_problem()  # SPD, [0.1, 100]
+    truth = float(b @ (b / d))
+    widths = []
+    for k in (20, 40, 80):
+        decomp = tpl.lanczos_pass_one(op, b_dev, k)
+        lo, hi = gauss_radau_bracket(decomp, lambda_min=d.min())
+        assert lo <= truth * (1 + 1e-12), (k, lo, truth)
+        assert hi >= truth * (1 - 1e-12), (k, hi, truth)
+        widths.append(hi - lo)
+    assert widths[2] < widths[1] < widths[0]
+    assert widths[2] < 1e-6 * truth  # converged enclosure by k=80
+
+
+def test_breakdown_makes_everything_exact():
+    """diag(2,3), b=e₁ → invariant 1-D subspace, steps_taken=1 (the
+    reference's breakdown case, ``src/algorithms/mod.rs:409-419``):
+    residual bounds identically zero, quadrature exact, bracket collapsed."""
+    op = tpl.DiagonalOperator(jnp.asarray([2.0, 3.0], jnp.float64))
+    b = jnp.asarray([1.0, 0.0], jnp.float64)
+    decomp = tpl.lanczos_pass_one(op, b, 2)
+    assert decomp.steps() == 1
+    np.testing.assert_array_equal(ritz_residual_bounds(decomp), [0.0])
+    assert quadratic_form(decomp, "inv") == pytest.approx(0.5, rel=1e-14)
+    lo, hi = gauss_radau_bracket(decomp, lambda_min=1.0)
+    assert lo == hi == pytest.approx(0.5, rel=1e-14)
+
+
+def test_zero_b_empty_results():
+    op = tpl.DiagonalOperator(jnp.ones(4, jnp.float64))
+    decomp = tpl.lanczos_pass_one(op, jnp.zeros(4, jnp.float64), 3)
+    assert decomp.steps() == 0
+    assert ritz_values(decomp).size == 0
+    assert ritz_residual_bounds(decomp).size == 0
+    assert quadratic_form(decomp) == 0.0
+    assert gauss_radau_bracket(decomp, 1.0) == (0.0, 0.0)
+
+
+def test_lambda_min_must_be_positive():
+    op, b_dev, _, _ = _diag_problem()
+    decomp = tpl.lanczos_pass_one(op, b_dev, 5)
+    with pytest.raises(ValueError, match="lambda_min"):
+        gauss_radau_bracket(decomp, 0.0)
+
+
+def test_unknown_function_spec_rejected():
+    op, b_dev, _, _ = _diag_problem()
+    decomp = tpl.lanczos_pass_one(op, b_dev, 5)
+    with pytest.raises(ValueError, match="unknown function"):
+        quadratic_form(decomp, "sqrt")
+
+
+def test_accepts_chunked_path_decomposition():
+    """The pytree contract: decompositions from other pass-one
+    implementations feed the same analyses unchanged."""
+    op, b_dev, d, b = _diag_problem(lo=1.0, hi=10.0)
+    decomp, _ = tpl.lanczos_standard_chunked(op, b_dev, 60, chunk=16)
+    assert quadratic_form(decomp, "inv") == pytest.approx(
+        float(b @ (b / d)), rel=1e-10)

@@ -1,0 +1,167 @@
+"""Spectral analysis from a Lanczos decomposition (beyond the reference).
+
+The reference computes and stores (α, β) (``LanczosDecomposition``,
+``src/algorithms/mod.rs:94-108``) but uses them only to evaluate f(T_k)e₁.
+The same data answers the questions any Krylov-method user asks next, at
+zero extra matvec cost — this module provides them host-side (NumPy/SciPy
+f64; these are analysis utilities, not the device hot path):
+
+* **Ritz values / pairs** — eigenvalues of T_s, the Rayleigh–Ritz
+  approximations to A's spectrum (extreme eigenvalues converge first).
+* **Ritz residual bounds** — the classical exact-arithmetic identity
+  ‖A·u_j − θ_j·u_j‖₂ = β_s·|S_{s,j}| : a rigorous a-posteriori residual for
+  every Ritz pair from the LAST ROW of T_s's eigenvectors alone (no basis,
+  no matvec). In finite precision it holds to O(ε‖A‖) for the plain
+  recurrence and to working precision under ``reorth=True``.
+* **Lanczos quadrature** — ‖b‖²·e₁ᵀf(T_s)e₁, the s-point Gauss estimate of
+  the quadratic form bᵀf(A)b (Golub–Meurant "Matrices, Moments and
+  Quadrature" framework).
+* **Gauss–Radau brackets** for bᵀA⁻¹b on SPD A: the plain Gauss rule is a
+  LOWER bound (even derivatives of 1/x are positive on (0, ∞)); fixing a
+  Radau node ζ ≤ λ_min yields an UPPER bound. Together: a computable
+  enclosure that tightens with k.
+
+All functions accept the decomposition from ANY pass-one implementation in
+this package (XLA scan, fused Pallas, chunked, sharded, df — they share the
+pytree contract) and operate on the valid ``steps_taken`` prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple, Union
+
+import numpy as np
+from scipy.linalg import eigh_tridiagonal
+
+from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition
+
+__all__ = [
+    "tridiagonal_valid",
+    "ritz_values",
+    "ritz_pairs",
+    "ritz_residual_bounds",
+    "quadratic_form",
+    "gauss_radau_bracket",
+]
+
+FSpec = Union[str, Callable[[np.ndarray], np.ndarray]]
+
+
+def tridiagonal_valid(decomp: LanczosDecomposition) -> Tuple[np.ndarray, np.ndarray]:
+    """The valid (diagonal, off-diagonal) of T_s as host f64 arrays.
+
+    Shapes ``(s,)`` and ``(s-1,)`` with ``s = steps_taken`` — the
+    reference's unpadded storage convention (``src/algorithms/mod.rs:98``).
+    """
+    d = decomp.alphas_valid().astype(np.float64)
+    e = decomp.betas_valid().astype(np.float64)
+    return d, e
+
+
+def _eig_ts(decomp, vectors: bool):
+    d, e = tridiagonal_valid(decomp)
+    if d.size == 0:
+        empty = np.zeros(0)
+        return (empty, np.zeros((0, 0))) if vectors else empty
+    if d.size == 1:
+        return (d.copy(), np.ones((1, 1))) if vectors else d.copy()
+    if vectors:
+        return eigh_tridiagonal(d, e)
+    return eigh_tridiagonal(d, e, eigvals_only=True)
+
+
+def ritz_values(decomp: LanczosDecomposition) -> np.ndarray:
+    """Eigenvalues of T_s, ascending — the Ritz approximations to A's
+    spectrum from the Krylov subspace. Empty for a zero-b run."""
+    return _eig_ts(decomp, vectors=False)
+
+
+def ritz_pairs(decomp: LanczosDecomposition) -> Tuple[np.ndarray, np.ndarray]:
+    """``(theta, S)``: Ritz values (ascending) and T_s's orthonormal
+    eigenvectors, columns ``S[:, j]``. The Ritz vector in R^n is
+    ``u_j = Σ_i S[i, j]·v_{i+1}`` (contract with the one-pass basis)."""
+    return _eig_ts(decomp, vectors=True)
+
+
+def ritz_residual_bounds(decomp: LanczosDecomposition) -> np.ndarray:
+    """Per-Ritz-pair residual ‖A·u_j − θ_j·u_j‖₂ = β_s·|S_{s,j}|.
+
+    Exact-arithmetic identity from the Lanczos relation
+    A·V_s = V_s·T_s + β_s·v_{s+1}·e_sᵀ; costs O(s²) host flops and needs
+    neither the basis nor a matvec. After breakdown β_s = 0: every
+    computed Ritz pair is exact (the subspace is invariant) and the
+    bounds are identically zero.
+    """
+    theta, s_vecs = ritz_pairs(decomp)
+    if theta.size == 0:
+        return theta
+    return decomp.beta_last() * np.abs(s_vecs[-1, :])
+
+
+def _f_of_theta(theta: np.ndarray, f: FSpec) -> np.ndarray:
+    if f == "inv":
+        return 1.0 / theta
+    if f == "exp":
+        return np.exp(theta)
+    if callable(f):
+        return np.asarray(f(theta), np.float64)
+    raise ValueError(f"unknown function spec {f!r}")
+
+
+def quadratic_form(decomp: LanczosDecomposition, f: FSpec = "inv") -> float:
+    """The s-point Lanczos (Gauss) quadrature estimate of bᵀf(A)b:
+    ‖b‖²·e₁ᵀf(T_s)e₁ = ‖b‖²·Σ_j f(θ_j)·S_{1,j}².
+
+    Exact once the Krylov subspace is invariant (breakdown) or s reaches
+    the number of distinct eigenvalues active in b. 0.0 for zero b.
+    """
+    theta, s_vecs = ritz_pairs(decomp)
+    if theta.size == 0:
+        return 0.0
+    w = s_vecs[0, :] ** 2
+    return float(decomp.b_norm) ** 2 * float(np.dot(_f_of_theta(theta, f), w))
+
+
+def gauss_radau_bracket(
+    decomp: LanczosDecomposition, lambda_min: float
+) -> Tuple[float, float]:
+    """``(lower, upper)`` bounds on bᵀA⁻¹b for SPD A with λ_min(A) ≥
+    ``lambda_min`` > 0.
+
+    Lower: the plain s-point Gauss rule (``quadratic_form``; its error
+    term has the sign of f^{(2s)} which is positive for 1/x on (0, ∞), so
+    Gauss under-estimates). Upper: the (s+1)-point Gauss–Radau rule with
+    the fixed node ζ = ``lambda_min`` at the left end of the spectrum —
+    built by extending T_s with the standard Golub–Meurant boundary
+    modification: solve (T_s − ζI)·δ = β_s²·e_s and append the diagonal
+    entry α̂ = ζ + δ_s coupled by β_s.
+
+    After breakdown the quadrature is exact and the bracket collapses to
+    the exact value. Raises for ``lambda_min <= 0`` (the bound theory
+    needs f smooth on [ζ, ∞) ⊂ (0, ∞)).
+    """
+    if lambda_min <= 0.0:
+        raise ValueError("gauss_radau_bracket requires lambda_min > 0 (SPD A)")
+    lower = quadratic_form(decomp, "inv")
+    d, e = tridiagonal_valid(decomp)
+    beta_s = decomp.beta_last()
+    if d.size == 0:
+        return 0.0, 0.0
+    if beta_s == 0.0:
+        return lower, lower  # invariant subspace: Gauss is exact
+    # delta = (T_s - zeta I)^{-1} (beta_s^2 e_s), tridiagonal solve
+    s = d.size
+    t = np.zeros((s, s))
+    t[np.arange(s), np.arange(s)] = d - lambda_min
+    if s > 1:
+        t[np.arange(s - 1), np.arange(1, s)] = e
+        t[np.arange(1, s), np.arange(s - 1)] = e
+    rhs = np.zeros(s)
+    rhs[-1] = beta_s**2
+    delta = np.linalg.solve(t, rhs)
+    d_hat = np.concatenate([d, [lambda_min + delta[-1]]])
+    e_hat = np.concatenate([e, [beta_s]])
+    theta, s_vecs = eigh_tridiagonal(d_hat, e_hat)
+    upper = float(decomp.b_norm) ** 2 * float(
+        np.dot(1.0 / theta, s_vecs[0, :] ** 2))
+    return lower, upper
