@@ -1,0 +1,188 @@
+"""Stochastic Lanczos quadrature (two_pass_lanczos_tpu.slq).
+
+The reference never estimates traces; these tests pin the SLQ layer built
+on the shared pass-one scan: batched pass one is bit-identical to solo
+runs, the device-side batched quadrature matches the host-side
+spectrum.quadratic_form, and the trace estimators hit analytic ground
+truths on diagonal operators (the reference's own test methodology,
+``tests/correctness.rs:1-23``) — including the exactness cases where the
+Monte-Carlo variance is identically zero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.slq import (
+    batched_quadratic_form,
+    lanczos_pass_one_batched,
+    slq_logdet,
+    slq_trace,
+)
+from two_pass_lanczos_tpu.spectrum import quadratic_form
+
+
+def _diag_op(d):
+    return tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+
+
+def test_batched_pass_one_bit_identical_to_solo():
+    n, m, k = 150, 4, 25
+    rng = np.random.default_rng(0)
+    d = np.linspace(0.5, 50.0, n)
+    op = _diag_op(d)
+    bs = jnp.asarray(rng.standard_normal((m, n)), jnp.float64)
+    batched = lanczos_pass_one_batched(op, bs, k)
+    assert batched.alphas.shape == (m, k) and batched.steps_taken.shape == (m,)
+    for i in range(m):
+        solo = tpl.lanczos_pass_one(op, bs[i], k)
+        np.testing.assert_array_equal(np.asarray(batched.alphas[i]),
+                                      np.asarray(solo.alphas))
+        np.testing.assert_array_equal(np.asarray(batched.betas[i]),
+                                      np.asarray(solo.betas))
+        assert int(batched.steps_taken[i]) == solo.steps()
+
+
+def test_batched_quadratic_form_matches_host_spectrum():
+    n, m, k = 120, 3, 30
+    rng = np.random.default_rng(1)
+    op = _diag_op(np.linspace(1.0, 10.0, n))
+    bs = jnp.asarray(rng.standard_normal((m, n)), jnp.float64)
+    batched = lanczos_pass_one_batched(op, bs, k)
+    for f in ("inv", "exp"):
+        dev = np.asarray(batched_quadratic_form(batched, f))
+        for i in range(m):
+            solo = tpl.lanczos_pass_one(op, bs[i], k)
+            assert dev[i] == pytest.approx(quadratic_form(solo, f), rel=1e-11)
+
+
+def test_batched_quadratic_form_solo_decomposition():
+    op = _diag_op(np.linspace(1.0, 4.0, 40))
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(40), jnp.float64)
+    decomp = tpl.lanczos_pass_one(op, b, 20)
+    got = batched_quadratic_form(decomp, "inv")
+    assert got.shape == ()
+    assert float(got) == pytest.approx(quadratic_form(decomp, "inv"), rel=1e-11)
+
+
+def test_breakdown_rows_padded_safely():
+    """One RHS breaks down at step 1 (invariant e₁), another runs longer:
+    the padded decoupled block must carry zero quadrature weight."""
+    op = _diag_op([2.0, 3.0, 5.0, 7.0])
+    bs = jnp.asarray([[1.0, 0.0, 0.0, 0.0],
+                      [1.0, 1.0, 1.0, 1.0]], jnp.float64)
+    batched = lanczos_pass_one_batched(op, bs, 4)
+    assert int(batched.steps_taken[0]) == 1
+    quad = np.asarray(batched_quadratic_form(batched, "inv"))
+    assert quad[0] == pytest.approx(0.5, rel=1e-13)
+    truth = sum(1.0 / v for v in (2.0, 3.0, 5.0, 7.0))
+    assert quad[1] == pytest.approx(truth, rel=1e-12)
+
+
+def test_zero_probe_row_yields_zero():
+    op = _diag_op(np.ones(8))
+    bs = jnp.zeros((2, 8), jnp.float64)
+    quad = np.asarray(batched_quadratic_form(
+        lanczos_pass_one_batched(op, bs, 3), "inv"))
+    np.testing.assert_array_equal(quad, [0.0, 0.0])
+
+
+def test_rademacher_diag_trace_is_exact():
+    """Diagonal A + Rademacher probes: zᵀf(A)z = Σ f(d_i)·z_i² = tr f(A)
+    exactly per probe (z_i² = 1), and the quadrature is exact once k ≥ the
+    number of distinct eigenvalues — so estimate == truth and stderr == 0."""
+    d = np.array([1.0, 1.0, 4.0, 4.0, 4.0, 9.0] * 20)
+    op = _diag_op(d)
+    res = slq_trace(op, "inv", k=8, num_probes=4, key=jax.random.key(0))
+    assert float(res.estimate) == pytest.approx(float(np.sum(1.0 / d)), rel=1e-10)
+    assert float(res.stderr) == pytest.approx(0.0, abs=1e-8)
+    assert res.samples.shape == (4,)
+
+
+def test_slq_logdet_converges_to_analytic():
+    n = 400
+    d = np.linspace(0.5, 20.0, n)
+    truth = float(np.sum(np.log(d)))
+    res = slq_logdet(_diag_op(d), k=40, num_probes=24, key=jax.random.key(3))
+    # diagonal + Rademacher is exact per probe up to quadrature bias
+    assert float(res.estimate) == pytest.approx(truth, rel=1e-6)
+
+
+def test_slq_gaussian_probes_within_sampling_error():
+    n = 300
+    d = np.linspace(1.0, 10.0, n)
+    truth = float(np.sum(1.0 / d))
+    res = slq_trace(_diag_op(d), "inv", k=30, num_probes=48,
+                    key=jax.random.key(7), probe="gaussian")
+    err = abs(float(res.estimate) - truth)
+    assert float(res.stderr) > 0.0
+    assert err < 5.0 * float(res.stderr) + 1e-9
+
+
+def test_slq_callable_f_and_determinism():
+    d = np.linspace(0.1, 2.0, 64)
+    op = _diag_op(d)
+    kw = dict(k=16, num_probes=8, key=jax.random.key(11))
+    a = slq_trace(op, lambda x: x**2, **kw)
+    b = slq_trace(op, lambda x: x**2, **kw)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    # f(x)=x² is a degree-2 polynomial: quadrature exact at k=16; Rademacher
+    # on diagonal A: per-probe zᵀA²z = tr A² exactly.
+    assert float(a.estimate) == pytest.approx(float(np.sum(d**2)), rel=1e-10)
+
+
+def test_slq_dense_operator_mxu_path():
+    """Dense SPD (non-diagonal) A: the vmapped matvec is a matmul; compare
+    against the dense eigendecomposition ground truth."""
+    n = 96
+    rng = np.random.default_rng(5)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.linspace(0.5, 8.0, n)
+    a = (q * d) @ q.T
+    truth = float(np.sum(np.log(d)))
+    op = tpl.DenseOperator(jnp.asarray(a, jnp.float64))
+    res = slq_logdet(op, k=48, num_probes=64, key=jax.random.key(9))
+    err = abs(float(res.estimate) - truth)
+    assert err < 5.0 * float(res.stderr) + 1e-6 * abs(truth)
+
+
+def test_slq_on_vendored_kkt_operator():
+    """The vmapped batched scan over a real sparse KKT matvec (indefinite
+    saddle-point A): tr(A²) = ‖A‖²_F has an exact analytic oracle
+    (Σ d_i² + 4m — each arc contributes four ±1 incidence entries), and the
+    2-point Gauss quadrature is exact for the degree-2 polynomial — only
+    Hutchinson sampling error remains."""
+    from pathlib import Path
+
+    d = Path(__file__).resolve().parents[1] / "data" / "1000"
+    dmx = sorted(d.glob("*.dmx"))
+    if not dmx:
+        pytest.skip("no vendored data/1000 instances")
+    from two_pass_lanczos_tpu.utils.data_loader import load_kkt_arrays
+
+    arrays = load_kkt_arrays(dmx[0], dmx[0].with_suffix(".qfc"))
+    scale = float(np.max(arrays.quad_costs))
+    dsc = arrays.quad_costs / scale
+    op = tpl.make_kkt_operator(dsc, arrays.arc_u, arrays.arc_v,
+                               arrays.num_nodes, backend="xla",
+                               dtype=jnp.float64)
+    truth = float(np.sum(dsc**2)) + 4.0 * arrays.num_arcs
+    res = slq_trace(op, lambda x: x**2, k=4, num_probes=64,
+                    key=jax.random.key(13))
+    err = abs(float(res.estimate) - truth)
+    assert err < 5.0 * float(res.stderr) + 1e-9 * truth
+
+
+def test_slq_input_validation():
+    op = _diag_op(np.ones(8))
+    with pytest.raises(ValueError, match="num_probes"):
+        slq_trace(op, "inv", k=4, num_probes=0, key=jax.random.key(0))
+    with pytest.raises(ValueError, match="probe kind"):
+        slq_trace(op, "inv", k=4, num_probes=2, key=jax.random.key(0),
+                  probe="uniform")
+    with pytest.raises(ValueError, match="unknown function"):
+        slq_trace(op, "sqrtish", k=4, num_probes=2, key=jax.random.key(0))
+    with pytest.raises(ValueError, match="bs must be"):
+        lanczos_pass_one_batched(op, jnp.ones(8, jnp.float64), 3)

@@ -77,6 +77,20 @@ from two_pass_lanczos_tpu.convergence import (
     make_convergence_callback,
     update_norm,
 )
+from two_pass_lanczos_tpu.spectrum import (
+    gauss_radau_bracket,
+    quadratic_form,
+    ritz_pairs,
+    ritz_residual_bounds,
+    ritz_values,
+)
+from two_pass_lanczos_tpu.slq import (
+    SLQResult,
+    batched_quadratic_form,
+    lanczos_pass_one_batched,
+    slq_logdet,
+    slq_trace,
+)
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
 from two_pass_lanczos_tpu.solvers import lanczos, lanczos_two_pass, solve_fAb
@@ -118,6 +132,18 @@ __all__ = [
     "update_norm",
     "convergence_history",
     "make_convergence_callback",
+    # spectral analysis from the decomposition (beyond the reference)
+    "ritz_values",
+    "ritz_pairs",
+    "ritz_residual_bounds",
+    "quadratic_form",
+    "gauss_radau_bracket",
+    # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
+    "SLQResult",
+    "lanczos_pass_one_batched",
+    "batched_quadratic_form",
+    "slq_trace",
+    "slq_logdet",
     # compensated-precision (double-float) TPU path
     "DFDiagonalOperator",
     "DFKKTOperator",
