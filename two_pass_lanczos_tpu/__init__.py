@@ -84,6 +84,7 @@ from two_pass_lanczos_tpu.spectrum import (
     ritz_residual_bounds,
     ritz_values,
 )
+from two_pass_lanczos_tpu.eigen import EigshResult, eigsh
 from two_pass_lanczos_tpu.slq import (
     SLQResult,
     batched_quadratic_form,
@@ -138,6 +139,9 @@ __all__ = [
     "ritz_residual_bounds",
     "quadratic_form",
     "gauss_radau_bracket",
+    # thick-restart Lanczos eigensolver (beyond the reference)
+    "eigsh",
+    "EigshResult",
     # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
     "SLQResult",
     "lanczos_pass_one_batched",
