@@ -1,0 +1,137 @@
+"""Chebyshev-expansion f(A)b (two_pass_lanczos_tpu.algorithms.chebyshev).
+
+The storage-free alternative the reference does not ship. Oracles:
+polynomial exactness (degree-d interpolation reproduces degree-≤d
+polynomials to roundoff — mirrors the reference's z² test methodology,
+``tests/correctness.rs:42-51``), analytic diagonal truths, and agreement
+with the library's own Lanczos solvers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.chebyshev import (
+    chebyshev_coefficients,
+    chebyshev_fAb,
+    estimate_interval,
+)
+
+
+def _problem(n=300, lo=1.0, hi=10.0, seed=0):
+    d = np.linspace(lo, hi, n)
+    b = np.random.default_rng(seed).standard_normal(n)
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    return op, jnp.asarray(b, jnp.float64), d, b
+
+
+def test_coefficients_polynomial_exact():
+    """Interpolating x² on any interval with degree >= 2: c_j exact —
+    x² = (T_0 + T_2)/2 on [-1,1]; on [0,2] (x = t+1): c = [1.5, 2, 0.5]."""
+    c = chebyshev_coefficients(lambda x: x**2, (0.0, 2.0), 4)
+    np.testing.assert_allclose(c, [1.5, 2.0, 0.5, 0.0, 0.0], atol=1e-13)
+
+
+def test_polynomial_fAb_exact():
+    op, b_dev, d, b = _problem()
+    x = chebyshev_fAb(op, b_dev, lambda t: t**2, degree=2,
+                      interval=(0.5, 11.0))
+    np.testing.assert_allclose(np.asarray(x), d**2 * b, rtol=1e-12)
+
+
+def test_exp_matches_analytic_and_lanczos():
+    op, b_dev, d, b = _problem(lo=-1.0, hi=3.0)
+    truth = np.exp(d) * b
+    x = chebyshev_fAb(op, b_dev, "exp", degree=40, interval=(-1.0, 3.0))
+    rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
+    assert rel < 1e-12
+    x_lan = tpl.solve_fAb(op, b_dev, k=60, f="exp", method="two_pass")
+    rel_vs = (np.linalg.norm(np.asarray(x) - np.asarray(x_lan))
+              / np.linalg.norm(truth))
+    assert rel_vs < 1e-10
+
+
+def test_inv_geometric_convergence_in_degree():
+    op, b_dev, d, b = _problem(lo=1.0, hi=16.0)  # kappa = 16, q = 3/5
+    truth = b / d
+    errs = []
+    for deg in (20, 40, 80):
+        x = chebyshev_fAb(op, b_dev, "inv", degree=deg, interval=(1.0, 16.0))
+        errs.append(np.linalg.norm(np.asarray(x) - truth)
+                    / np.linalg.norm(truth))
+    assert errs[1] < 0.1 * errs[0] and errs[2] < 0.1 * errs[1]
+    assert errs[2] < 1e-10
+
+
+def test_auto_interval_via_eigsh():
+    op, b_dev, d, b = _problem(lo=0.5, hi=8.0, n=200)
+    x = chebyshev_fAb(op, b_dev, "inv", degree=120, key=jax.random.key(2))
+    rel = np.linalg.norm(np.asarray(x) - b / d) / np.linalg.norm(b / d)
+    assert rel < 1e-8
+
+
+def test_estimate_interval_encloses_spectrum():
+    op, _, d, _ = _problem(lo=0.5, hi=8.0, n=200)
+    a, b = estimate_interval(op)
+    assert a <= d.min() and b >= d.max()
+    assert a > 0.0  # margin must not push a positive spectrum negative
+
+
+def test_validation_errors():
+    op, b_dev, _, _ = _problem()
+    with pytest.raises(ValueError, match="positive spectral interval"):
+        chebyshev_fAb(op, b_dev, "inv", degree=10, interval=(-1.0, 10.0))
+    with pytest.raises(ValueError, match="a < b"):
+        chebyshev_coefficients("exp", (2.0, 2.0), 5)
+    with pytest.raises(ValueError, match="degree"):
+        chebyshev_coefficients("exp", (0.0, 1.0), -1)
+    with pytest.raises(ValueError, match="unknown function"):
+        chebyshev_coefficients("sinh?", (0.0, 1.0), 5)
+
+
+def test_degree_zero_and_one():
+    op, b_dev, d, b = _problem()
+    x0 = chebyshev_fAb(op, b_dev, lambda t: 0.0 * t + 3.0, degree=0,
+                       interval=(1.0, 10.0))
+    np.testing.assert_allclose(np.asarray(x0), 3.0 * b, rtol=1e-13)
+    x1 = chebyshev_fAb(op, b_dev, lambda t: 2.0 * t, degree=1,
+                       interval=(1.0, 10.0))
+    np.testing.assert_allclose(np.asarray(x1), 2.0 * d * b, rtol=1e-12)
+
+
+def test_sparse_kkt_exp_against_lanczos():
+    """Indefinite sparse KKT operator: Chebyshev exp vs the Lanczos f64
+    solver (both fully converged — independent algorithms agreeing)."""
+    rng = np.random.default_rng(4)
+    m, p = 800, 50
+    u = rng.integers(0, p, m).astype(np.int32)
+    v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+    dq = rng.uniform(1.0, 3.0, m)
+    op = tpl.make_kkt_operator(dq / 10.0, u, v, p, backend="xla",
+                               dtype=jnp.float64)
+    b = jnp.asarray(rng.standard_normal(m + p), jnp.float64)
+    a_lo, a_hi = estimate_interval(op)
+    x_ch = chebyshev_fAb(op, b, "exp", degree=80, interval=(a_lo, a_hi))
+    x_ln = tpl.solve_fAb(op, b, k=150, f="exp", method="two_pass")
+    rel = (np.linalg.norm(np.asarray(x_ch) - np.asarray(x_ln))
+           / np.linalg.norm(np.asarray(x_ln)))
+    assert rel < 1e-9
+
+
+def test_jit_composability():
+    """chebyshev_fAb's runner nests inside an outer jit (operator is a
+    pytree; coefficients are data)."""
+    from two_pass_lanczos_tpu.algorithms.chebyshev import _chebyshev_run
+
+    op, b_dev, d, b = _problem()
+    cs = jnp.asarray(chebyshev_coefficients("inv", (1.0, 10.0), 60))
+    scale = jnp.asarray([2.0 / 9.0, 11.0 / 9.0])
+
+    @jax.jit
+    def outer(o, bb):
+        return _chebyshev_run(o, bb, cs, scale) * 2.0
+
+    x = outer(op, b_dev)
+    np.testing.assert_allclose(np.asarray(x), 2.0 * b / d, rtol=1e-9)

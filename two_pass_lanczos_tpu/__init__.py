@@ -84,6 +84,11 @@ from two_pass_lanczos_tpu.spectrum import (
     ritz_residual_bounds,
     ritz_values,
 )
+from two_pass_lanczos_tpu.algorithms.chebyshev import (
+    chebyshev_coefficients,
+    chebyshev_fAb,
+    estimate_interval,
+)
 from two_pass_lanczos_tpu.eigen import EigshResult, eigsh
 from two_pass_lanczos_tpu.slq import (
     SLQResult,
@@ -142,6 +147,10 @@ __all__ = [
     # thick-restart Lanczos eigensolver (beyond the reference)
     "eigsh",
     "EigshResult",
+    # Chebyshev-expansion f(A)b: storage-free alternative (beyond the reference)
+    "chebyshev_fAb",
+    "chebyshev_coefficients",
+    "estimate_interval",
     # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
     "SLQResult",
     "lanczos_pass_one_batched",
