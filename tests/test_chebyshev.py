@@ -89,6 +89,10 @@ def test_validation_errors():
         chebyshev_coefficients("exp", (0.0, 1.0), -1)
     with pytest.raises(ValueError, match="unknown function"):
         chebyshev_coefficients("sinh?", (0.0, 1.0), 5)
+    with pytest.raises(ValueError, match="not finite"):
+        chebyshev_coefficients("exp", (0.0, 1e6), 10)  # exp overflow
+    with pytest.raises(ValueError, match="not finite"):
+        chebyshev_coefficients("log", (-1.0, 1.0), 10)  # log of negatives
 
 
 def test_degree_zero_and_one():
@@ -118,6 +122,49 @@ def test_sparse_kkt_exp_against_lanczos():
     rel = (np.linalg.norm(np.asarray(x_ch) - np.asarray(x_ln))
            / np.linalg.norm(np.asarray(x_ln)))
     assert rel < 1e-9
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_chebyshev_matches_host(ndev):
+    """Distributed Chebyshev over the row partition == the host expansion
+    (the recurrence is collective-free, so N-device results are
+    bit-for-bit reduction-order independent up to the matvec's own)."""
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+    from two_pass_lanczos_tpu.parallel import ShardedSparseOperator, make_mesh
+    from two_pass_lanczos_tpu.utils.data_loader import KKTArrays
+
+    inst = generate_mcf_instance(400, rho=3, instance_id=2)
+    scale = float(np.max(inst.quad_costs))  # keep exp() in range
+    arrays = KKTArrays(quad_costs=inst.quad_costs / scale, arc_u=inst.arc_u,
+                       arc_v=inst.arc_v, num_nodes=inst.num_nodes,
+                       num_arcs=inst.num_arcs)
+    op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u,
+                               arrays.arc_v, arrays.num_nodes,
+                               backend="xla", dtype=jnp.float64)
+    interval = estimate_interval(op)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(arrays.n)
+    x_host = np.asarray(chebyshev_fAb(op, jnp.asarray(b, jnp.float64),
+                                      "exp", degree=60, interval=interval))
+    assert np.all(np.isfinite(x_host)) and np.linalg.norm(x_host) > 0
+    sop = ShardedSparseOperator.from_kkt_arrays(arrays, make_mesh(ndev))
+    x_dist = sop.chebyshev_fAb(b, "exp", degree=60, interval=interval)
+    np.testing.assert_allclose(x_dist, x_host, rtol=1e-11, atol=1e-13)
+
+
+def test_sharded_chebyshev_validation():
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+    from two_pass_lanczos_tpu.parallel import ShardedSparseOperator, make_mesh
+    from two_pass_lanczos_tpu.utils.data_loader import KKTArrays
+
+    inst = generate_mcf_instance(200, rho=3, instance_id=3)
+    arrays = KKTArrays(quad_costs=inst.quad_costs, arc_u=inst.arc_u,
+                       arc_v=inst.arc_v, num_nodes=inst.num_nodes,
+                       num_arcs=inst.num_arcs)
+    sop = ShardedSparseOperator.from_kkt_arrays(arrays, make_mesh(2))
+    with pytest.raises(ValueError, match="positive spectral interval"):
+        sop.chebyshev_fAb(np.ones(arrays.n), "inv", degree=10,
+                          interval=(-2.0, 2.0))
 
 
 def test_jit_composability():

@@ -42,6 +42,7 @@ from two_pass_lanczos_tpu.operators import LinearOperator
 __all__ = [
     "chebyshev_coefficients",
     "chebyshev_fAb",
+    "chebyshev_scan",
     "estimate_interval",
 ]
 
@@ -78,7 +79,13 @@ def chebyshev_coefficients(
     n = degree + 1
     k = np.arange(n)
     x = np.cos(np.pi * (k + 0.5) / n)  # Chebyshev nodes on [-1, 1]
-    fx = _f_host(0.5 * (b - a) * x + 0.5 * (b + a), f)
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        fx = _f_host(0.5 * (b - a) * x + 0.5 * (b + a), f)
+    if not np.all(np.isfinite(fx)):
+        raise ValueError(
+            f"f is not finite everywhere on the interval ({a}, {b}) — the "
+            "expansion would be NaN. Rescale the operator (e.g. A/‖A‖ for "
+            "exp) or shrink the interval.")
     j = np.arange(n)[:, None]
     c = (2.0 / n) * (np.cos(j * np.pi * (k + 0.5) / n) @ fx)
     c[0] *= 0.5
@@ -144,13 +151,16 @@ def chebyshev_fAb(
     return _chebyshev_run(operator, jnp.asarray(b), coeffs, scale)
 
 
-@jax.jit
-def _chebyshev_run(operator, b_in, cs, scale):
-    """``Σ c_j·T_j(Ã)·b`` as one scan; degree is static via ``cs.shape``."""
+def chebyshev_scan(matvec, b_in, cs, scale):
+    """``Σ c_j·T_j(Ã)·b`` as one scan over any ``matvec`` closure; degree
+    is static via ``cs.shape``. The recurrence needs NO reductions — under
+    ``shard_map`` it distributes with zero collectives beyond the matvec's
+    own (see :meth:`parallel.sharded.ShardedSparseOperator.chebyshev_fAb`).
+    """
     alpha, beta = scale[0], scale[1]
 
     def a_tilde(v):
-        return alpha.astype(v.dtype) * operator.matvec(v) - beta.astype(v.dtype) * v
+        return alpha.astype(v.dtype) * matvec(v) - beta.astype(v.dtype) * v
 
     acc = cs[0].astype(b_in.dtype) * b_in
     if cs.shape[0] == 1:
@@ -166,3 +176,8 @@ def _chebyshev_run(operator, b_in, cs, scale):
 
     (_, _, acc), _ = jax.lax.scan(step, (b_in, t_curr, acc), cs[2:])
     return acc
+
+
+@jax.jit
+def _chebyshev_run(operator, b_in, cs, scale):
+    return chebyshev_scan(operator.matvec, b_in, cs, scale)

@@ -425,6 +425,56 @@ class ShardedSparseOperator:
         return self._restore_x(x_perm), decomp
 
     # ------------------------------------------------------------------
+    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
+                      raw: bool = False):
+        """Distributed Chebyshev-expansion f(A)·b: ``degree`` local SpMVs
+        under one ``shard_map``-ped scan, O(n/ndev) memory per device and
+        ZERO collectives beyond the matvec's own halo exchange (the
+        three-term recurrence has no inner products — unlike Lanczos'
+        2 psums per step).
+
+        ``interval`` must contain spec(A) and is required here (the
+        single-device path can estimate it via ``eigsh``; on a mesh, pass
+        a cached/known interval). The row padding is invariant under the
+        recurrence (padded entries of b are zero and A's padded rows are
+        empty), so the padded operator's spurious zero eigenvalues never
+        contribute. Multi-host runs must use ``raw=True``.
+        """
+        from two_pass_lanczos_tpu.algorithms.chebyshev import (
+            chebyshev_coefficients,
+            chebyshev_scan,
+        )
+
+        a_lo, a_hi = float(interval[0]), float(interval[1])
+        if f in ("inv", "log") and a_lo <= 0.0:
+            raise ValueError(
+                f"f={f!r} needs a positive spectral interval, got ({a_lo}, {a_hi})")
+        rdt = np.dtype(self.dtype)
+        cs = jnp.asarray(chebyshev_coefficients(f, interval, degree), rdt)
+        scale = jnp.asarray(
+            [2.0 / (a_hi - a_lo), (a_hi + a_lo) / (a_hi - a_lo)], rdt)
+
+        key = ("chebyshev", degree)
+        if key not in self._solve_cache:
+            axis, rows_per = self.axis, self.part.rows_per
+
+            def run(blocks, b_local, cs_rep, scale_rep):
+                blocks = tuple(a[0] for a in blocks)
+                matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+                return chebyshev_scan(matvec, b_local, cs_rep, scale_rep)
+
+            self._solve_cache[key] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(axis, None)] * 6), P(axis), P(), P()),
+                out_specs=P(axis),
+                check_vma=False))
+        x_perm = self._solve_cache[key](
+            self.local_blocks, self._prepare_b(b), cs, scale)
+        if raw:
+            return x_perm
+        return self._restore_x(x_perm)
+
+    # ------------------------------------------------------------------
     def matvec_distributed(self, x, raw: bool = False):
         """One distributed SpMV (for tests/benchmarks); original order
         in/out. Multi-host runs must pass ``raw=True`` (the permuted sharded
