@@ -70,7 +70,8 @@ class EigshResult(NamedTuple):
     converged: bool
 
 
-def _expand_and_ritz(operator, v_basis, h_proj, start, key):
+def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
+                     reduce_sum=None, inject_mask=None, inject_fold=None):
     """One restart cycle: grow the basis from ``start`` to ``ncv`` columns
     (CGS2 full orthogonalization), then Rayleigh–Ritz on the projected H.
 
@@ -78,25 +79,38 @@ def _expand_and_ritz(operator, v_basis, h_proj, start, key):
     the next unit vector to expand with); ``h_proj`` is (ncv, ncv) with the
     leading (start, start) block valid. Returns the grown state plus the
     on-device eigendecomposition and residual bounds.
+
+    Distribution hooks (the library's standard shard_map pattern, cf.
+    ``algorithms/core.py``): under ``shard_map`` the basis is column-
+    (n-)sharded, ``reduce_sum`` psums the (ncv+1,) projection partials and
+    the norms, ``inject_mask`` confines random injections to the valid
+    (non-padded) rows, and ``inject_fold`` decorrelates the per-device
+    noise streams (e.g. fold in ``lax.axis_index``).
     """
     ncv = h_proj.shape[0]
     rdt = v_basis.dtype
     brk = jnp.asarray(breakdown_tolerance(rdt), rdt)
 
+    def project(v, w, mask):
+        c = v @ w
+        if reduce_sum is not None:
+            c = reduce_sum(c)
+        return c * mask
+
     def body(j, carry):
         v, h, key_j, _ = carry
-        w = operator.matvec(v[j])
+        w = matvec(v[j])
         mask = (jnp.arange(ncv + 1) <= j).astype(rdt)
         # CGS2: two masked sweeps against the whole resident basis (MXU).
-        c1 = (v @ w) * mask
+        c1 = project(v, w, mask)
         w = w - v.T @ c1
-        c2 = (v @ w) * mask
+        c2 = project(v, w, mask)
         w = w - v.T @ c2
         h_col = (c1 + c2)[:ncv]
         h = h.at[:, j].set(h_col)
         h = h.at[j, :].set(h_col)  # keep H symmetric (j-th row = j-th col)
 
-        beta = l2_norm(w)
+        beta = l2_norm(w, reduce_sum)
 
         def continue_direction(op_):
             w_, key_in = op_
@@ -107,10 +121,14 @@ def _expand_and_ritz(operator, v_basis, h_proj, start, key):
             # against the basis (Wu–Simon §4.2 practice)
             _, key_in = op_
             key_out, sub = jax.random.split(key_in)
+            if inject_fold is not None:
+                sub = inject_fold(sub)
             r = jax.random.normal(sub, w.shape, rdt)
-            r = r - v.T @ ((v @ r) * mask)
-            r = r - v.T @ ((v @ r) * mask)
-            nrm = l2_norm(r)
+            if inject_mask is not None:
+                r = r * inject_mask
+            r = r - v.T @ project(v, r, mask)
+            r = r - v.T @ project(v, r, mask)
+            nrm = l2_norm(r, reduce_sum)
             safe = jnp.where(nrm > brk, nrm, jnp.ones((), rdt))
             return r / safe.astype(rdt), key_out
 
@@ -137,7 +155,7 @@ def _expand_and_ritz(operator, v_basis, h_proj, start, key):
 
 @jax.jit
 def _cycle(operator, v_basis, h_proj, start, key):
-    return _expand_and_ritz(operator, v_basis, h_proj, start, key)
+    return _expand_and_ritz(operator.matvec, v_basis, h_proj, start, key)
 
 
 @jax.jit
@@ -206,23 +224,10 @@ def eigsh(
     invariant subspace (default ``jax.random.key(0)`` — the solve is
     deterministic for fixed inputs).
     """
-    if which not in _WHICH:
-        raise ValueError(f"which must be one of {_WHICH}, got {which!r}")
-    if nev < 1:
-        raise ValueError("nev must be >= 1")
-    if maxiter < 1:
-        raise ValueError("maxiter must be >= 1")
     n = operator.shape[0]
-    if nev > n:
-        raise ValueError(f"nev={nev} exceeds the operator dimension {n}")
-    if ncv is None:
-        ncv = min(n, max(2 * nev + 1, 20))
-    if ncv > n:
-        raise ValueError(f"ncv={ncv} exceeds the operator dimension {n}")
-    if ncv < nev + 1:
-        raise ValueError(f"need ncv >= nev + 1 (got ncv={ncv}, nev={nev})")
+    ncv = validate_eigsh_params(n, nev, ncv, which, maxiter)
     # thickness: the standard Wu–Simon midpoint between nev and ncv
-    ell = min(nev + (ncv - nev) // 2, ncv - 1)
+    ell = eigsh_thickness(nev, ncv)
     rdt = operator.dtype
     if key is None:
         key = jax.random.key(0)
@@ -238,13 +243,36 @@ def eigsh(
     h_proj = jnp.zeros((ncv, ncv), rdt)
     start = jnp.zeros((), jnp.int32)
 
+    cycle = lambda v, h, s, k: _cycle(operator, v, h, s, k)
+    theta, vectors_d, resid, restarts, converged = _eigsh_driver(
+        cycle, _thick_restart, _ritz_vectors, v_basis, h_proj,
+        nev=nev, ell=ell, which=which, tol=tol, maxiter=maxiter, key=key)
+    return EigshResult(
+        eigenvalues=theta,
+        eigenvectors=np.asarray(vectors_d),
+        residual_norms=resid,
+        restarts=restarts,
+        converged=converged,
+    )
+
+
+def _eigsh_driver(cycle, restart, ritzvec, v_basis, h_proj, *,
+                  nev, ell, which, tol, maxiter, key):
+    """The restart loop shared by the single-device and sharded drivers.
+
+    ``cycle``/``restart``/``ritzvec`` are the compiled stage callables (the
+    sharded variant passes shard_map-ped ones); everything host-side here
+    is O(ncv) bookkeeping. Returns ``(theta[want], vectors_device,
+    resid[want], restarts, converged)`` — vectors stay a device array so
+    the caller controls layout restoration.
+    """
+    start = jnp.zeros((), jnp.int32)
     restarts = 0
     converged = False
     for it in range(maxiter):
         key, sub = jax.random.split(key)
-        v_basis, h_proj, theta_d, s_d, resid_d, _ = _cycle(
-            operator, v_basis, h_proj, start, sub
-        )
+        v_basis, h_proj, theta_d, s_d, resid_d, _ = cycle(
+            v_basis, h_proj, start, sub)
         restarts = it + 1
         theta = np.asarray(theta_d)
         resid = np.asarray(resid_d)
@@ -257,16 +285,39 @@ def eigsh(
             # want ⊆ keep by construction: both select extremes of the same
             # ordering and ell >= nev
             keep = _select(theta, ell, which)
-            v_basis, h_proj = _thick_restart(
-                v_basis, theta_d, s_d, jnp.asarray(keep, jnp.int32)
-            )
+            v_basis, h_proj = restart(
+                v_basis, theta_d, s_d, jnp.asarray(keep, jnp.int32))
             start = jnp.asarray(ell, jnp.int32)
 
-    vectors = np.asarray(_ritz_vectors(v_basis, s_d, jnp.asarray(want, jnp.int32)))
-    return EigshResult(
-        eigenvalues=theta[want],
-        eigenvectors=vectors,
-        residual_norms=resid[want],
-        restarts=restarts,
-        converged=converged,
-    )
+    vectors = ritzvec(v_basis, s_d, jnp.asarray(want, jnp.int32))
+    return theta[want], vectors, resid[want], restarts, converged
+
+
+def default_ncv(n: int, nev: int) -> int:
+    """The default restart basis size (shared with the sharded driver)."""
+    return min(n, max(2 * nev + 1, 20))
+
+
+def eigsh_thickness(nev: int, ncv: int) -> int:
+    """The Wu–Simon restart thickness ℓ (shared with the sharded driver)."""
+    return min(nev + (ncv - nev) // 2, ncv - 1)
+
+
+def validate_eigsh_params(n: int, nev: int, ncv: Optional[int],
+                          which: str, maxiter: int) -> int:
+    """Shared parameter validation; returns the resolved ``ncv``."""
+    if which not in _WHICH:
+        raise ValueError(f"which must be one of {_WHICH}, got {which!r}")
+    if nev < 1:
+        raise ValueError("nev must be >= 1")
+    if maxiter < 1:
+        raise ValueError("maxiter must be >= 1")
+    if nev > n:
+        raise ValueError(f"nev={nev} exceeds the operator dimension {n}")
+    if ncv is None:
+        ncv = default_ncv(n, nev)
+    if ncv > n:
+        raise ValueError(f"ncv={ncv} exceeds the operator dimension {n}")
+    if ncv < nev + 1:
+        raise ValueError(f"need ncv >= nev + 1 (got ncv={ncv}, nev={nev})")
+    return ncv

@@ -425,6 +425,108 @@ class ShardedSparseOperator:
         return self._restore_x(x_perm), decomp
 
     # ------------------------------------------------------------------
+    def eigsh(self, nev: int = 6, *, which: str = "LA", ncv=None,
+              tol: float = 1e-8, maxiter: int = 100, v0=None, key=None):
+        """Distributed thick-restart Lanczos eigenpairs over the row
+        partition — :func:`eigen.eigsh` with the (ncv+1, n) basis
+        column-sharded along the mesh axis.
+
+        Per expansion step: one local SpMV (+ halo all_gather) and two
+        CGS2 sweeps whose (ncv+1,) projection partials psum across the
+        mesh; the ncv×ncv Rayleigh–Ritz ``eigh`` is replicated per device
+        (the `_stacked_y_local` pattern). Random injections past invariant
+        subspaces are masked to the valid (non-padded) rows — the row
+        padding's spurious zero eigenvalues can never enter the Krylov
+        space — and decorrelated per device by folding in ``axis_index``.
+        Returns :class:`eigen.EigshResult` with eigenvectors restored to
+        original row order (single-process meshes; the eigenvalues and
+        residuals are replicated and host-readable everywhere).
+        """
+        from two_pass_lanczos_tpu.eigen import (
+            EigshResult,
+            _eigsh_driver,
+            _expand_and_ritz,
+            _ritz_vectors,
+            _thick_restart,
+            eigsh_thickness,
+            validate_eigsh_params,
+        )
+
+        n = self.part.n_orig
+        ncv = validate_eigsh_params(n, nev, ncv, which, maxiter)
+        ell = eigsh_thickness(nev, ncv)
+        axis, rows_per = self.axis, self.part.rows_per
+        rdt = np.dtype(self.dtype)
+        if key is None:
+            key = jax.random.key(0)
+        key, sub = jax.random.split(key)
+        if v0 is None:
+            v0 = jax.random.normal(sub, (n,), rdt)
+        v0 = np.asarray(v0, rdt)
+        if float(np.linalg.norm(v0)) == 0.0:
+            raise ValueError("v0 must be nonzero")
+        b_local = self._prepare_b(v0)  # padded, permuted, sharded P(axis)
+        valid = (self.part.perm < n).astype(rdt)
+        valid_local = jax.device_put(valid, self.vec_sharding)
+
+        ck = ("eigsh", ncv)
+        if ck not in self._solve_cache:
+
+            def init(b_loc):
+                nrm = l2_norm(b_loc, lambda s: lax.psum(s, axis))
+                v = jnp.zeros((ncv + 1,) + b_loc.shape, b_loc.dtype)
+                return v.at[0].set(b_loc / nrm.astype(b_loc.dtype))
+
+            def cycle(blocks, v, h, start, k_in, mask_loc):
+                blocks = tuple(a[0] for a in blocks)
+                matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+                rs = lambda s: lax.psum(s, axis)
+                fold = lambda kk: jax.random.fold_in(
+                    kk, lax.axis_index(axis))
+                return _expand_and_ritz(
+                    matvec, v, h, start, k_in,
+                    reduce_sum=rs, inject_mask=mask_loc, inject_fold=fold)
+
+            self._solve_cache[ck] = (
+                jax.jit(jax.shard_map(
+                    init, mesh=self.mesh,
+                    in_specs=(P(axis),), out_specs=P(None, axis),
+                    check_vma=False)),
+                jax.jit(jax.shard_map(
+                    cycle, mesh=self.mesh,
+                    in_specs=(tuple([P(axis, None)] * 6), P(None, axis),
+                              P(), P(), P(), P(axis)),
+                    out_specs=(P(None, axis), P(), P(), P(), P(), P()),
+                    check_vma=False)),
+                jax.jit(jax.shard_map(
+                    _thick_restart, mesh=self.mesh,
+                    in_specs=(P(None, axis), P(), P(), P()),
+                    out_specs=(P(None, axis), P()),
+                    check_vma=False)),
+                jax.jit(jax.shard_map(
+                    _ritz_vectors, mesh=self.mesh,
+                    in_specs=(P(None, axis), P(), P()),
+                    out_specs=P(None, axis),
+                    check_vma=False)),
+            )
+        init_f, cycle_f, restart_f, ritzvec_f = self._solve_cache[ck]
+
+        v_basis = init_f(b_local)
+        h_proj = jnp.zeros((ncv, ncv), rdt)
+        theta, vectors_d, resid, restarts, converged = _eigsh_driver(
+            lambda v, h, s, k: cycle_f(self.local_blocks, v, h, s, k,
+                                       valid_local),
+            restart_f, ritzvec_f, v_basis, h_proj,
+            nev=nev, ell=ell, which=which, tol=tol, maxiter=maxiter, key=key)
+        return EigshResult(
+            eigenvalues=theta,
+            eigenvectors=self._restore_x(vectors_d),
+            residual_norms=resid,
+            restarts=restarts,
+            converged=converged,
+        )
+
+    # ------------------------------------------------------------------
     def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
                       raw: bool = False):
         """Distributed Chebyshev-expansion f(A)·b: ``degree`` local SpMVs
