@@ -175,6 +175,61 @@ def test_slq_on_vendored_kkt_operator():
     assert err < 5.0 * float(res.stderr) + 1e-9 * truth
 
 
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_slq_trace_diagonal_exact(ndev):
+    """Distributed SLQ over the row partition: diagonal + Rademacher is
+    exact per probe (k >= #distinct eigenvalues), so N-device estimates
+    hit the analytic trace at rounding tolerance — and the padding rows
+    contribute nothing."""
+    from two_pass_lanczos_tpu.parallel import ShardedSparseOperator, make_mesh
+
+    d = np.array([1.0, 4.0, 9.0] * 37)  # n=111: real padding on 2/8 devices
+    n = len(d)
+    idx = np.arange(n)
+    sop = ShardedSparseOperator(n, idx, idx, d, make_mesh(ndev))
+    res = sop.slq_trace("inv", k=8, num_probes=4, key=jax.random.key(0))
+    truth = float(np.sum(1.0 / d))
+    assert float(res.estimate) == pytest.approx(truth, rel=1e-9)
+    assert float(res.stderr) == pytest.approx(0.0, abs=1e-8)
+
+
+def test_sharded_slq_matches_single_device_estimator():
+    """Same probes (same key) through the sharded KKT partition and the
+    host operator: estimates agree to reduction-order rounding."""
+    from two_pass_lanczos_tpu.models.generator import generate_mcf_instance
+    from two_pass_lanczos_tpu.parallel import ShardedSparseOperator, make_mesh
+    from two_pass_lanczos_tpu.utils.data_loader import KKTArrays
+
+    inst = generate_mcf_instance(300, rho=3, instance_id=7)
+    scale = float(np.max(inst.quad_costs))
+    arrays = KKTArrays(quad_costs=inst.quad_costs / scale, arc_u=inst.arc_u,
+                       arc_v=inst.arc_v, num_nodes=inst.num_nodes,
+                       num_arcs=inst.num_arcs)
+    host_op = tpl.make_kkt_operator(arrays.quad_costs, arrays.arc_u,
+                                    arrays.arc_v, arrays.num_nodes,
+                                    backend="xla", dtype=jnp.float64)
+    key = jax.random.key(11)
+    f = lambda x: x**2
+    res_host = slq_trace(host_op, f, k=4, num_probes=8, key=key)
+    sop = ShardedSparseOperator.from_kkt_arrays(arrays, make_mesh(8))
+    res_dist = sop.slq_trace(f, k=4, num_probes=8, key=key)
+    np.testing.assert_allclose(np.asarray(res_dist.samples),
+                               np.asarray(res_host.samples), rtol=1e-10)
+    assert float(res_dist.estimate) == pytest.approx(
+        float(res_host.estimate), rel=1e-10)
+
+
+def test_sharded_slq_validation():
+    from two_pass_lanczos_tpu.parallel import ShardedSparseOperator, make_mesh
+
+    idx = np.arange(16)
+    sop = ShardedSparseOperator(16, idx, idx, np.ones(16), make_mesh(2))
+    with pytest.raises(ValueError, match="num_probes"):
+        sop.slq_trace("inv", k=4, num_probes=0, key=jax.random.key(0))
+    with pytest.raises(ValueError, match="unknown function"):
+        sop.slq_trace("nope", k=4, num_probes=2, key=jax.random.key(0))
+
+
 def test_slq_input_validation():
     op = _diag_op(np.ones(8))
     with pytest.raises(ValueError, match="num_probes"):

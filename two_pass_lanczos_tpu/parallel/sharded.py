@@ -527,6 +527,72 @@ class ShardedSparseOperator:
         )
 
     # ------------------------------------------------------------------
+    def slq_trace(self, f="inv", *, k: int = 50, num_probes: int = 16,
+                  key, probe: str = "rademacher"):
+        """Distributed stochastic Lanczos quadrature ``tr f(A)`` — the
+        :func:`slq.slq_trace` estimator with every probe's recurrence
+        running over the row partition.
+
+        All ``num_probes`` recurrences execute as one vmapped scan INSIDE
+        one ``shard_map``: the per-step collectives batch across probes
+        (one (m,)-shaped psum per reduction instead of m scalar psums),
+        and the m quadratures are one replicated batched ``eigh``. Probes
+        are drawn host-side in original row order, so the estimate matches
+        the single-device estimator for the same key up to reduction
+        rounding. The row padding stays zero through the recurrence and
+        contributes nothing.
+        """
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            _f_of_theta,
+            batched_quadratic_form,
+            slq_stats,
+        )
+
+        if num_probes < 1:
+            raise ValueError("num_probes must be >= 1")
+        if not callable(f):
+            _f_of_theta(jnp.ones(1), f)  # reject unknown strings early
+        n = self.part.n_orig
+        rdt = np.dtype(self.dtype)
+        probes = np.asarray(_draw_probes(key, num_probes, n, rdt, probe))
+        # pad + permute each probe row, shard as (m, n_pad) over the axis
+        pp = np.zeros((num_probes, self.part.n_pad), rdt)
+        pp[:, :n] = probes
+        pp = pp[:, self.part.perm]
+        probes_sharded = jax.make_array_from_callback(
+            pp.shape, NamedSharding(self.mesh, P(None, self.axis)),
+            lambda idx: pp[idx])
+
+        ck = ("slq", k, num_probes)
+        if ck not in self._solve_cache:
+            axis, rows_per = self.axis, self.part.rows_per
+
+            def run(blocks, probes_local):
+                blocks = tuple(a[0] for a in blocks)
+                matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+                rs = lambda s: lax.psum(s, axis)
+
+                def solo(b_loc):
+                    return pass_one_scan(matvec, b_loc, k,
+                                         emit_basis=False, reduce_sum=rs)[0]
+
+                decomp = jax.vmap(solo)(probes_local)
+                return decomp.alphas, decomp.betas, decomp.steps_taken, \
+                    decomp.b_norm
+
+            self._solve_cache[ck] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(axis, None)] * 6), P(None, axis)),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False))
+        alphas, betas, steps, b_norm = self._solve_cache[ck](
+            self.local_blocks, probes_sharded)
+        decomp = LanczosDecomposition(alphas=alphas, betas=betas,
+                                      steps_taken=steps, b_norm=b_norm)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
+    # ------------------------------------------------------------------
     def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
                       raw: bool = False):
         """Distributed Chebyshev-expansion f(A)·b: ``degree`` local SpMVs

@@ -145,10 +145,9 @@ class SLQResult(NamedTuple):
     samples: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("k", "f"))
-def _slq_run(operator, probes, k, f):
-    decomp = lanczos_pass_one_batched(operator, probes, k)
-    samples = batched_quadratic_form(decomp, f)
+def slq_stats(samples: jax.Array) -> "SLQResult":
+    """Fold per-probe estimates into the Hutchinson mean ± standard error
+    (shared by the single-device and sharded drivers)."""
     m = samples.shape[0]
     estimate = jnp.mean(samples)
     if m > 1:
@@ -157,6 +156,12 @@ def _slq_run(operator, probes, k, f):
     else:
         stderr = jnp.zeros((), samples.dtype)
     return SLQResult(estimate=estimate, stderr=stderr, samples=samples)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "f"))
+def _slq_run(operator, probes, k, f):
+    decomp = lanczos_pass_one_batched(operator, probes, k)
+    return slq_stats(batched_quadratic_form(decomp, f))
 
 
 def _draw_probes(key, num_probes, n, dtype, probe):
