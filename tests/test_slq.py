@@ -175,6 +175,47 @@ def test_slq_on_vendored_kkt_operator():
     assert err < 5.0 * float(res.stderr) + 1e-9 * truth
 
 
+def test_spectral_density_integrates_to_one_and_locates_mass():
+    """Three well-separated eigenvalue clusters: the DOS estimate must
+    integrate to ~1, put ~equal mass near each cluster, and vanish in the
+    gaps."""
+    from two_pass_lanczos_tpu.slq import slq_spectral_density
+
+    d = np.concatenate([np.full(100, 2.0), np.full(100, 5.0),
+                        np.full(100, 8.0)])
+    op = _diag_op(d)
+    grid = np.linspace(0.0, 10.0, 401)
+    phi = np.asarray(slq_spectral_density(op, grid, sigma=0.2, k=12,
+                                          num_probes=16,
+                                          key=jax.random.key(0)))
+    dt = grid[1] - grid[0]
+    assert float(np.sum(phi) * dt) == pytest.approx(1.0, rel=1e-3)
+    # mass within +-0.6 of each cluster ~ 1/3 each
+    for center in (2.0, 5.0, 8.0):
+        sel = np.abs(grid - center) < 0.6
+        assert float(np.sum(phi[sel]) * dt) == pytest.approx(1 / 3, rel=0.05)
+    # the gaps are empty
+    for gap in (3.5, 6.5):
+        sel = np.abs(grid - gap) < 0.4
+        assert float(np.sum(phi[sel]) * dt) < 0.01
+    # first moment = mean eigenvalue
+    assert float(np.sum(grid * phi) * dt) == pytest.approx(5.0, rel=0.02)
+
+
+def test_spectral_density_validation():
+    from two_pass_lanczos_tpu.slq import slq_spectral_density
+
+    op = _diag_op(np.ones(8))
+    with pytest.raises(ValueError, match="grid"):
+        slq_spectral_density(op, np.ones((2, 2)), key=jax.random.key(0))
+    with pytest.raises(ValueError, match="sigma"):
+        slq_spectral_density(op, np.linspace(0, 1, 10), sigma=-1.0,
+                             key=jax.random.key(0))
+    with pytest.raises(ValueError, match="num_probes"):
+        slq_spectral_density(op, np.linspace(0, 1, 10), num_probes=0,
+                             key=jax.random.key(0))
+
+
 @pytest.mark.parametrize("ndev", [1, 2, 8])
 def test_sharded_slq_trace_diagonal_exact(ndev):
     """Distributed SLQ over the row partition: diagonal + Rademacher is

@@ -93,8 +93,10 @@ from two_pass_lanczos_tpu.eigen import EigshResult, eigsh
 from two_pass_lanczos_tpu.slq import (
     SLQResult,
     batched_quadratic_form,
+    batched_ritz_weights,
     lanczos_pass_one_batched,
     slq_logdet,
+    slq_spectral_density,
     slq_trace,
 )
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
@@ -155,8 +157,10 @@ __all__ = [
     "SLQResult",
     "lanczos_pass_one_batched",
     "batched_quadratic_form",
+    "batched_ritz_weights",
     "slq_trace",
     "slq_logdet",
+    "slq_spectral_density",
     # compensated-precision (double-float) TPU path
     "DFDiagonalOperator",
     "DFKKTOperator",

@@ -30,7 +30,7 @@ by design — stream probes through them one at a time instead).
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Union
+from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +45,10 @@ __all__ = [
     "SLQResult",
     "lanczos_pass_one_batched",
     "batched_quadratic_form",
+    "batched_ritz_weights",
     "slq_trace",
     "slq_logdet",
+    "slq_spectral_density",
 ]
 
 FSpec = Union[str, Callable[[jax.Array], jax.Array]]
@@ -91,23 +93,20 @@ def lanczos_pass_one_batched(
     return jax.vmap(solo)(bs)
 
 
-def batched_quadratic_form(decomp: LanczosDecomposition, f: FSpec = "inv") -> jax.Array:
-    """Device-side ``‖b‖²·e₁ᵀ f(T_s) e₁`` for every row of a batched
-    decomposition — the s-point Gauss quadrature of ``bᵀ f(A) b``.
+def batched_ritz_weights(decomp: LanczosDecomposition):
+    """``(theta, w)`` per batch row: Ritz values (ascending, (m, k)) and
+    the Gauss quadrature weights ``w_j = S[0, j]²`` (rows sum to 1 for a
+    nonzero RHS).
 
-    Accepts the output of :func:`lanczos_pass_one_batched` (leading batch
-    axis) or a solo decomposition (returns a scalar array). Rows that broke
-    down early are handled by padding T's diagonal beyond ``steps_taken``
-    with a decoupled block (zero e₁-weight); a zero-b row yields 0.0 via
-    ``b_norm == 0``. Host-side single-decomposition analogue:
-    :func:`spectrum.quadratic_form`.
+    Rows that broke down early are padded with an exactly-decoupled
+    diagonal block (its couplings are the zero-padded β entries), so the
+    padded eigenpairs carry ZERO e₁-weight — they never contribute to any
+    quadrature built from these weights.
     """
     alphas, betas = decomp.alphas, decomp.betas
-    solo = alphas.ndim == 1
-    if solo:
-        alphas, betas = alphas[None], betas[None]
     steps = jnp.atleast_1d(decomp.steps_taken)
-    b_norm = jnp.atleast_1d(decomp.b_norm)
+    if alphas.ndim == 1:
+        alphas, betas = alphas[None], betas[None]
 
     k = alphas.shape[-1]
     i = jnp.arange(k)
@@ -125,7 +124,22 @@ def batched_quadratic_form(decomp: LanczosDecomposition, f: FSpec = "inv") -> ja
 
     t = jax.vmap(build)(diag, off)
     theta, s_vecs = jnp.linalg.eigh(t)
-    w = s_vecs[:, 0, :] ** 2
+    return theta, s_vecs[:, 0, :] ** 2
+
+
+def batched_quadratic_form(decomp: LanczosDecomposition, f: FSpec = "inv") -> jax.Array:
+    """Device-side ``‖b‖²·e₁ᵀ f(T_s) e₁`` for every row of a batched
+    decomposition — the s-point Gauss quadrature of ``bᵀ f(A) b``.
+
+    Accepts the output of :func:`lanczos_pass_one_batched` (leading batch
+    axis) or a solo decomposition (returns a scalar array). Early
+    breakdown and zero-b rows are handled (see
+    :func:`batched_ritz_weights`). Host-side single-decomposition
+    analogue: :func:`spectrum.quadratic_form`.
+    """
+    solo = decomp.alphas.ndim == 1
+    theta, w = batched_ritz_weights(decomp)
+    b_norm = jnp.atleast_1d(decomp.b_norm)
     quad = (b_norm**2) * jnp.sum(_f_of_theta(theta, f) * w, axis=-1)
     return quad[0] if solo else quad
 
@@ -204,6 +218,57 @@ def slq_trace(
     if not callable(f):
         _f_of_theta(jnp.ones(1), f)  # reject unknown strings before tracing
     return _slq_run(operator, probes, k, f)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dos_run(operator, probes, grid, sigma, k):
+    decomp = lanczos_pass_one_batched(operator, probes, k)
+    theta, w = batched_ritz_weights(decomp)
+    m = probes.shape[0]
+    g = jnp.exp(-0.5 * ((grid[None, None, :] - theta[:, :, None]) / sigma) ** 2)
+    g = g / (sigma * jnp.sqrt(2.0 * jnp.pi))
+    return jnp.sum(w[:, :, None] * g, axis=(0, 1)) / m
+
+
+def slq_spectral_density(
+    operator: LinearOperator,
+    grid,
+    *,
+    sigma: Optional[float] = None,
+    k: int = 50,
+    num_probes: int = 16,
+    key: jax.Array,
+    probe: str = "gaussian",
+) -> jax.Array:
+    """Smoothed spectral density (density of states) on ``grid``:
+    φ_σ(t) ≈ (1/n)·Σ_i N(t; λ_i, σ²), by SLQ with unit-norm probes
+    (Lin–Saad–Yang, "Approximating spectral densities of large matrices",
+    SIAM Review 2016).
+
+    Each normalized probe's Lanczos quadrature yields a k-node spectral
+    measure (θ_j, w_j); averaging the Gaussian-smoothed node measures over
+    probes estimates the normalized eigenvalue distribution. Integrates to
+    1 by construction (each probe's weights sum to 1). ``sigma`` defaults
+    to twice the grid spacing — resolution is limited by both σ and k
+    (k nodes can resolve at most k spectral clusters).
+
+    Runs as ONE vmapped scan + ONE batched ``eigh`` + one broadcast
+    kernel-density evaluation, all inside a single jit.
+    """
+    if num_probes < 1:
+        raise ValueError("num_probes must be >= 1")
+    grid = jnp.asarray(grid)
+    if grid.ndim != 1 or grid.shape[0] < 2:
+        raise ValueError("grid must be a 1-D array with at least 2 points")
+    if sigma is None:
+        sigma = 2.0 * float(grid[1] - grid[0])
+    if sigma <= 0.0:
+        raise ValueError("sigma must be > 0")
+    n = operator.shape[0]
+    probes = _draw_probes(key, num_probes, n, operator.dtype, probe)
+    probes = probes / jnp.linalg.norm(probes, axis=1, keepdims=True)
+    return _dos_run(operator, probes, grid.astype(probes.dtype),
+                    jnp.asarray(sigma, probes.dtype), k)
 
 
 def slq_logdet(
