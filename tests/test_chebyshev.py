@@ -72,6 +72,29 @@ def test_auto_interval_via_eigsh():
     assert rel < 1e-8
 
 
+def test_auto_interval_inv_stays_positive_at_high_kappa():
+    """Regression: at kappa ~ 100 the additive margin used to push the
+    estimated lower endpoint below 0, wrongly disqualifying f='inv' on an
+    ordinary SPD problem."""
+    op, b_dev, d, b = _problem(lo=0.1, hi=10.0, n=200)  # kappa = 100
+    a, hi = estimate_interval(op)
+    assert 0.0 < a <= d.min() and hi >= d.max()
+    x = chebyshev_fAb(op, b_dev, "inv", degree=400, key=jax.random.key(0))
+    rel = np.linalg.norm(np.asarray(x) - b / d) / np.linalg.norm(b / d)
+    assert rel < 1e-6
+
+
+def test_inv_on_negative_definite_interval():
+    """Regression: a strictly negative interval is sign-definite — 1/x is
+    smooth there and must be accepted."""
+    d = np.linspace(-10.5, -0.5, 200)
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    b = np.random.default_rng(3).standard_normal(200)
+    x = chebyshev_fAb(op, jnp.asarray(b, jnp.float64), "inv", degree=120,
+                      interval=(-10.5, -0.5))
+    np.testing.assert_allclose(np.asarray(x), b / d, rtol=1e-9, atol=1e-12)
+
+
 def test_estimate_interval_encloses_spectrum():
     op, _, d, _ = _problem(lo=0.5, hi=8.0, n=200)
     a, b = estimate_interval(op)
@@ -81,8 +104,10 @@ def test_estimate_interval_encloses_spectrum():
 
 def test_validation_errors():
     op, b_dev, _, _ = _problem()
-    with pytest.raises(ValueError, match="positive spectral interval"):
+    with pytest.raises(ValueError, match="sign-definite"):
         chebyshev_fAb(op, b_dev, "inv", degree=10, interval=(-1.0, 10.0))
+    with pytest.raises(ValueError, match="positive spectral interval"):
+        chebyshev_fAb(op, b_dev, "log", degree=10, interval=(-1.0, 10.0))
     with pytest.raises(ValueError, match="a < b"):
         chebyshev_coefficients("exp", (2.0, 2.0), 5)
     with pytest.raises(ValueError, match="degree"):
@@ -162,7 +187,7 @@ def test_sharded_chebyshev_validation():
                        arc_v=inst.arc_v, num_nodes=inst.num_nodes,
                        num_arcs=inst.num_arcs)
     sop = ShardedSparseOperator.from_kkt_arrays(arrays, make_mesh(2))
-    with pytest.raises(ValueError, match="positive spectral interval"):
+    with pytest.raises(ValueError, match="sign-definite"):
         sop.chebyshev_fAb(np.ones(arrays.n), "inv", degree=10,
                           interval=(-2.0, 2.0))
 

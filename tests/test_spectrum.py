@@ -93,6 +93,18 @@ def test_quadratic_form_matches_direct():
         assert est == pytest.approx(truth, rel=1e-10), f
 
 
+def test_quadratic_form_log_matches_device_analogue():
+    """'log' is accepted (same string set as the device-side
+    batched_quadratic_form, which documents this as its host analogue)."""
+    op, b_dev, d, b = _diag_problem(lo=1.0, hi=10.0)
+    decomp = tpl.lanczos_pass_one(op, b_dev, 60)
+    est = quadratic_form(decomp, "log")
+    truth = float(b @ (np.log(d) * b))
+    assert est == pytest.approx(truth, rel=1e-10)
+    dev = float(tpl.batched_quadratic_form(decomp, "log"))
+    assert est == pytest.approx(dev, rel=1e-10)
+
+
 def test_gauss_radau_bracket_encloses_and_tightens():
     op, b_dev, d, b = _diag_problem()  # SPD, [0.1, 100]
     truth = float(b @ (b / d))

@@ -61,6 +61,19 @@ def _f_host(x: np.ndarray, f: FSpec) -> np.ndarray:
     raise ValueError(f"unknown function spec {f!r} (expected 'inv', 'exp', 'log' or a callable)")
 
 
+def validate_interval_for_f(f: FSpec, a: float, bb: float) -> None:
+    """Reject intervals on which the named function is singular: ``inv``
+    must not straddle 0 (either sign-definite side is fine — 1/x is smooth
+    there); ``log`` needs a strictly positive interval."""
+    if f == "inv" and a <= 0.0 <= bb:
+        raise ValueError(
+            f"f='inv' needs a sign-definite spectral interval (not "
+            f"containing 0), got ({a}, {bb})")
+    if f == "log" and a <= 0.0:
+        raise ValueError(
+            f"f='log' needs a positive spectral interval, got ({a}, {bb})")
+
+
 def chebyshev_coefficients(
     f: FSpec, interval: Tuple[float, float], degree: int
 ) -> np.ndarray:
@@ -114,7 +127,13 @@ def estimate_interval(
     lam_hi = float(hi.eigenvalues[-1]) + float(hi.residual_norms[-1])
     lam_lo = float(lo.eigenvalues[0]) - float(lo.residual_norms[0])
     width = max(lam_hi - lam_lo, 1e-12 * max(abs(lam_hi), abs(lam_lo), 1.0))
-    return lam_lo - margin * width, lam_hi + margin * width
+    a = lam_lo - margin * width
+    if lam_lo > 0.0 and a <= 0.0:
+        # SPD spectrum: never let the additive margin cross 0 (it would
+        # wrongly disqualify f='inv'/'log'); floor at margin·λ_min, which
+        # stays below the (residual-widened) λ_min estimate
+        a = margin * lam_lo
+    return a, lam_hi + margin * width
 
 
 def chebyshev_fAb(
@@ -141,9 +160,7 @@ def chebyshev_fAb(
     if interval is None:
         interval = estimate_interval(operator, key=key)
     a, bb = float(interval[0]), float(interval[1])
-    if f in ("inv", "log") and a <= 0.0:
-        raise ValueError(
-            f"f={f!r} needs a positive spectral interval, got ({a}, {bb})")
+    validate_interval_for_f(f, a, bb)
     c_host = chebyshev_coefficients(f, interval, degree)
     rdt = jnp.real(jnp.zeros((), operator.dtype)).dtype
     coeffs = jnp.asarray(c_host, rdt)

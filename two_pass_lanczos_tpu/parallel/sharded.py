@@ -467,7 +467,9 @@ class ShardedSparseOperator:
             raise ValueError("v0 must be nonzero")
         b_local = self._prepare_b(v0)  # padded, permuted, sharded P(axis)
         valid = (self.part.perm < n).astype(rdt)
-        valid_local = jax.device_put(valid, self.vec_sharding)
+        # multi-host-safe materialization (same reason as _prepare_b)
+        valid_local = jax.make_array_from_callback(
+            valid.shape, self.vec_sharding, lambda idx: valid[idx])
 
         ck = ("eigsh", ncv)
         if ck not in self._solve_cache:
@@ -611,12 +613,11 @@ class ShardedSparseOperator:
         from two_pass_lanczos_tpu.algorithms.chebyshev import (
             chebyshev_coefficients,
             chebyshev_scan,
+            validate_interval_for_f,
         )
 
         a_lo, a_hi = float(interval[0]), float(interval[1])
-        if f in ("inv", "log") and a_lo <= 0.0:
-            raise ValueError(
-                f"f={f!r} needs a positive spectral interval, got ({a_lo}, {a_hi})")
+        validate_interval_for_f(f, a_lo, a_hi)
         rdt = np.dtype(self.dtype)
         cs = jnp.asarray(chebyshev_coefficients(f, interval, degree), rdt)
         scale = jnp.asarray(

@@ -210,6 +210,10 @@ def slq_trace(
     The operator must be a pytree with a vmappable ``matvec`` (all XLA-path
     operators). Requires an explicit PRNG ``key`` — trace estimates are
     Monte-Carlo; reproducibility demands caller-owned randomness.
+
+    A callable ``f`` is a static jit argument: pass the SAME function
+    object across calls (module-level function, cached closure) — a fresh
+    lambda per call retraces and recompiles the whole scan.
     """
     if num_probes < 1:
         raise ValueError("num_probes must be >= 1")

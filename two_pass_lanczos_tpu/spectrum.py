@@ -31,9 +31,17 @@ from __future__ import annotations
 from typing import Callable, Tuple, Union
 
 import numpy as np
-from scipy.linalg import eigh_tridiagonal
 
 from two_pass_lanczos_tpu.algorithms.core import LanczosDecomposition
+
+# scipy is an optional (test/plots) dependency; import lazily so the core
+# package stays importable from a base install (pyproject deps: jax, numpy)
+
+
+def _eigh_tridiagonal(*args, **kwargs):
+    from scipy.linalg import eigh_tridiagonal
+
+    return eigh_tridiagonal(*args, **kwargs)
 
 __all__ = [
     "tridiagonal_valid",
@@ -66,8 +74,8 @@ def _eig_ts(decomp, vectors: bool):
     if d.size == 1:
         return (d.copy(), np.ones((1, 1))) if vectors else d.copy()
     if vectors:
-        return eigh_tridiagonal(d, e)
-    return eigh_tridiagonal(d, e, eigvals_only=True)
+        return _eigh_tridiagonal(d, e)
+    return _eigh_tridiagonal(d, e, eigvals_only=True)
 
 
 def ritz_values(decomp: LanczosDecomposition) -> np.ndarray:
@@ -99,10 +107,13 @@ def ritz_residual_bounds(decomp: LanczosDecomposition) -> np.ndarray:
 
 
 def _f_of_theta(theta: np.ndarray, f: FSpec) -> np.ndarray:
+    # same string set as slq._f_of_theta / chebyshev._f_host (host analogue)
     if f == "inv":
         return 1.0 / theta
     if f == "exp":
         return np.exp(theta)
+    if f == "log":
+        return np.log(theta)
     if callable(f):
         return np.asarray(f(theta), np.float64)
     raise ValueError(f"unknown function spec {f!r}")
@@ -149,19 +160,23 @@ def gauss_radau_bracket(
         return 0.0, 0.0
     if beta_s == 0.0:
         return lower, lower  # invariant subspace: Gauss is exact
-    # delta = (T_s - zeta I)^{-1} (beta_s^2 e_s), tridiagonal solve
+    # delta = (T_s - zeta I)^{-1} (beta_s^2 e_s): O(s) banded solve
+    from scipy.linalg import solve_banded
+
     s = d.size
-    t = np.zeros((s, s))
-    t[np.arange(s), np.arange(s)] = d - lambda_min
-    if s > 1:
-        t[np.arange(s - 1), np.arange(1, s)] = e
-        t[np.arange(1, s), np.arange(s - 1)] = e
     rhs = np.zeros(s)
     rhs[-1] = beta_s**2
-    delta = np.linalg.solve(t, rhs)
-    d_hat = np.concatenate([d, [lambda_min + delta[-1]]])
+    if s > 1:
+        ab = np.zeros((3, s))
+        ab[0, 1:] = e
+        ab[1, :] = d - lambda_min
+        ab[2, :-1] = e
+        delta_last = solve_banded((1, 1), ab, rhs)[-1]
+    else:
+        delta_last = rhs[0] / (d[0] - lambda_min)
+    d_hat = np.concatenate([d, [lambda_min + delta_last]])
     e_hat = np.concatenate([e, [beta_s]])
-    theta, s_vecs = eigh_tridiagonal(d_hat, e_hat)
+    theta, s_vecs = _eigh_tridiagonal(d_hat, e_hat)
     upper = float(decomp.b_norm) ** 2 * float(
         np.dot(1.0 / theta, s_vecs[0, :] ** 2))
     return lower, upper
