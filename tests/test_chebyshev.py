@@ -192,6 +192,28 @@ def test_sharded_chebyshev_validation():
                           interval=(-2.0, 2.0))
 
 
+def test_chebyshev_through_pallas_operator_interpret():
+    """The expansion is a pure matvec chain: it must run unchanged through
+    the Pallas-kernel-backed operator (interpret mode on CPU), matching
+    the XLA operator bitwise-insensitively (same f32 dtype, same truth)."""
+    from two_pass_lanczos_tpu.operators import PallasKKTOperator
+
+    rng = np.random.default_rng(8)
+    m, p = 300, 30
+    u = rng.integers(0, p, m).astype(np.int32)
+    v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+    dq = rng.uniform(0.1, 0.5, m)
+    op_xla = tpl.make_kkt_operator(dq, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+    op_pal = PallasKKTOperator.build(dq, u, v, p, dtype=jnp.float32,
+                                     interpret=True)
+    b = jnp.asarray(rng.standard_normal(m + p), jnp.float32)
+    iv = (-3.0, 3.0)
+    x_x = np.asarray(chebyshev_fAb(op_xla, b, "exp", degree=30, interval=iv))
+    x_p = np.asarray(chebyshev_fAb(op_pal, b, "exp", degree=30, interval=iv))
+    np.testing.assert_allclose(x_p, x_x, rtol=2e-5, atol=2e-5)
+
+
 def test_jit_composability():
     """chebyshev_fAb's runner nests inside an outer jit (operator is a
     pytree; coefficients are data)."""
