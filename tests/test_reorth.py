@@ -241,3 +241,109 @@ class TestSharded:
         with pytest.raises(ValueError, match="callback"):
             sop.solve_fAb(b, k=4, f="inv", method="one_pass", reorth=True,
                           callback=lambda *a: True)
+
+
+class TestSelective:
+    """Selective (ω-recurrence / Parlett–Scott) reorthogonalization:
+    plain-recurrence cost on benign spectra, semi-orthogonality (√ε)
+    everywhere, a fraction of full reorth's sweeps on hard spectra."""
+
+    def test_benign_spectrum_bit_identical_to_plain(self):
+        """No trigger ⇒ zero sweeps ⇒ the FP sequence IS the plain one."""
+        from two_pass_lanczos_tpu.algorithms.core import pass_one_scan
+        from two_pass_lanczos_tpu.algorithms.reorth import (
+            pass_one_scan_selective,
+        )
+
+        op, _, b = _problem("well-conditioned", "inv")
+        dec_p, bas_p = pass_one_scan(op.matvec, b, 40, emit_basis=True)
+        dec_s, bas_s, nre = pass_one_scan_selective(op.matvec, b, 40)
+        assert int(nre) == 0
+        np.testing.assert_array_equal(np.asarray(dec_p.alphas),
+                                      np.asarray(dec_s.alphas))
+        np.testing.assert_array_equal(np.asarray(dec_p.betas),
+                                      np.asarray(dec_s.betas))
+        np.testing.assert_array_equal(np.asarray(bas_p), np.asarray(bas_s))
+
+    def test_semi_orthogonality_at_fraction_of_sweeps_f32(self):
+        """The indefinite f32 spectrum where the plain recurrence's defect
+        is O(1): selective keeps the defect under the semi-orthogonality
+        threshold with far fewer than k sweeps."""
+        from two_pass_lanczos_tpu.algorithms.core import pass_one_scan
+        from two_pass_lanczos_tpu.algorithms.reorth import (
+            pass_one_scan_selective,
+        )
+
+        n, k = 500, 300
+        d = np.concatenate([np.linspace(-1.0, -1e-4, n // 2),
+                            np.linspace(1e-4, 1.0, n - n // 2)])
+        op = DiagonalOperator(jnp.asarray(d, jnp.float32))
+        b = jnp.asarray(np.random.default_rng(1).standard_normal(n),
+                        jnp.float32)
+        dec_p, bas_p = pass_one_scan(op.matvec, b, k, emit_basis=True)
+        dec_s, bas_s, nre = pass_one_scan_selective(op.matvec, b, k)
+        defect_plain = _ortho_defect(bas_p, int(dec_p.steps_taken))
+        defect_sel = _ortho_defect(bas_s, int(dec_s.steps_taken))
+        sqrt_eps32 = float(np.sqrt(np.finfo(np.float32).eps))
+        assert defect_plain > 0.01  # the problem is real
+        assert defect_sel < 2 * sqrt_eps32, defect_sel
+        assert 0 < int(nre) < k // 2, int(nre)
+
+    def test_solve_fAb_selective_accuracy(self):
+        """f(A)b through reorth='selective' matches the analytic truth
+        where the plain path is documented to stagnate (f64 variant to
+        keep an exact oracle)."""
+        n, k = 400, 120
+        d = np.linspace(0.5, 20.0, n)
+        op = DiagonalOperator(jnp.asarray(d, jnp.float64))
+        rng = np.random.default_rng(2)
+        b = rng.standard_normal(n)
+        x = tpl.solve_fAb(op, jnp.asarray(b), k=k, f="inv",
+                          method="one_pass", reorth="selective")
+        np.testing.assert_allclose(np.asarray(x), b / d, rtol=1e-9)
+
+    def test_lanczos_api_accepts_selective(self):
+        op, _, b = _problem("well-conditioned", "inv")
+        x_sel = tpl.lanczos(op, b, 40, tpl.make_inv_solver(),
+                            reorth="selective")
+        x_plain = tpl.lanczos(op, b, 40, tpl.make_inv_solver())
+        np.testing.assert_array_equal(np.asarray(x_sel), np.asarray(x_plain))
+
+    def test_reorth_mode_validation(self):
+        op, _, b = _problem("well-conditioned", "inv")
+        with pytest.raises(ValueError, match="reorth must be"):
+            tpl.lanczos(op, b, 20, tpl.make_inv_solver(), reorth="maybe")
+
+    @pytest.mark.parametrize("ndev", [1, 2, 8])
+    def test_sharded_selective_matches_single_device(self, ndev):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedSparseOperator, make_mesh,
+        )
+
+        n, k = 700, 25
+        op, eigs = create_diagonal_problem(n, "well-conditioned", "inv")
+        rng = np.random.default_rng(42)
+        b = rng.standard_normal(n)
+        idx = np.arange(n)
+        sop = ShardedSparseOperator(n, idx, idx, eigs, make_mesh(ndev))
+        x_single = np.asarray(tpl.solve_fAb(op, jnp.asarray(b), k=k, f="inv",
+                                            method="one_pass",
+                                            reorth="selective"))
+        x_dist, decomp = sop.solve_fAb(b, k=k, f="inv", method="one_pass",
+                                       reorth="selective")
+        rel = np.linalg.norm(x_dist - x_single) / np.linalg.norm(x_single)
+        assert rel < 1e-9, f"{ndev}-device selective deviation {rel:.3e}"
+        assert decomp.steps() == k
+
+    def test_breakdown_and_zero_b(self):
+        from two_pass_lanczos_tpu.algorithms.reorth import (
+            pass_one_scan_selective,
+        )
+
+        op = DiagonalOperator(jnp.asarray([2.0, 3.0], jnp.float64))
+        dec, _, nre = pass_one_scan_selective(
+            op.matvec, jnp.asarray([1.0, 0.0], jnp.float64), 2)
+        assert int(dec.steps_taken) == 1 and int(nre) == 0
+        dec0, _, _ = pass_one_scan_selective(
+            op.matvec, jnp.zeros(2, jnp.float64), 2)
+        assert int(dec0.steps_taken) == 0

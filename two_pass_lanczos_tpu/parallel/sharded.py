@@ -187,7 +187,17 @@ class ShardedSparseOperator:
             blocks = tuple(a[0] for a in blocks)  # strip sharded leading dim
             matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
             reduce_sum = lambda s: lax.psum(s, axis)
-            if reorth:
+            if reorth == "selective":
+                # ω bookkeeping is replicated scalar math; only the CGS
+                # projections and norms psum across the mesh
+                from two_pass_lanczos_tpu.algorithms.reorth import (
+                    pass_one_scan_selective,
+                )
+
+                decomp, basis, _ = pass_one_scan_selective(
+                    matvec, b_local, k, reduce_sum=reduce_sum
+                )
+            elif reorth:
                 # basis rows are n-sharded like every Krylov vector; the
                 # CGS projections psum (k,)-shaped partials per sweep
                 from two_pass_lanczos_tpu.algorithms.reorth import (

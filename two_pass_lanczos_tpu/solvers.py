@@ -64,11 +64,31 @@ def _pass_one_jit(matvec_op, b, k: int, emit_basis: bool):
     return pass_one_scan(matvec_op.matvec, b, k, emit_basis=emit_basis)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _pass_one_reorth_jit(matvec_op, b, k: int, sweeps: int):
-    from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _pass_one_reorth_jit(matvec_op, b, k: int, sweeps: int, mode: str):
+    from two_pass_lanczos_tpu.algorithms.reorth import (
+        pass_one_scan_reorth,
+        pass_one_scan_selective,
+    )
 
+    if mode == "selective":
+        decomp, basis, _ = pass_one_scan_selective(
+            matvec_op.matvec, b, k, sweeps=sweeps)
+        return decomp, basis
     return pass_one_scan_reorth(matvec_op.matvec, b, k, sweeps=sweeps)
+
+
+def reorth_mode(reorth):
+    """Normalize the ``reorth`` argument: False/None → None, True → "full",
+    or one of {"full", "selective"}."""
+    if reorth is False or reorth is None:
+        return None
+    if reorth is True:
+        return "full"
+    if reorth in ("full", "selective"):
+        return reorth
+    raise ValueError(
+        f"reorth must be a bool, 'full' or 'selective', got {reorth!r}")
 
 
 def _run_f_solver(f_tk_solver, decomp: LanczosDecomposition):
@@ -139,23 +159,30 @@ def lanczos(
     truncating gracefully when the Krylov subspace becomes invariant
     before ``k`` steps.
 
-    ``reorth=True`` (beyond the reference) fully reorthogonalizes each new
-    vector against the stored basis (``reorth_sweeps`` CGS sweeps, default
-    2 = CGS2) — the fix for the large-k forward instability the plain
-    recurrence is documented to suffer on indefinite spectra, at
-    O(k²n) extra MXU work (``algorithms/reorth.py``). One-pass only: the
-    basis it needs is the one this variant already stores.
+    ``reorth=True`` / ``"full"`` (beyond the reference) fully
+    reorthogonalizes each new vector against the stored basis
+    (``reorth_sweeps`` CGS sweeps, default 2 = CGS2) — the fix for the
+    large-k forward instability the plain recurrence is documented to
+    suffer on indefinite spectra, at O(k²n) extra MXU work
+    (``algorithms/reorth.py``). ``reorth="selective"`` monitors the Simon
+    ω-recurrence and sweeps only when semi-orthogonality (√ε) is about to
+    be lost — plain-recurrence cost on benign spectra (a never-triggered
+    run is bit-identical to ``reorth=False``), a small fraction of the
+    full-reorth sweeps on hard ones. One-pass only: the basis these need
+    is the one this variant already stores.
     """
     b = jnp.asarray(b)
     _validate_inputs(operator, b, k)
-    if reorth:
+    mode = reorth_mode(reorth)
+    if mode is not None:
         if callback is not None:
             raise InputError(
-                "reorth=True is not supported together with callback= (the "
+                "reorth= is not supported together with callback= (the "
                 "chunked early-stop driver runs the plain recurrence); use "
                 "a plain run to locate the stopping step, or reorth without "
                 "a callback.")
-        decomp, v_k = _pass_one_reorth_jit(operator, b, k, reorth_sweeps)
+        decomp, v_k = _pass_one_reorth_jit(operator, b, k, reorth_sweeps,
+                                           mode)
     elif callback is not None:
         from two_pass_lanczos_tpu.algorithms.chunked import lanczos_standard_chunked
 
@@ -286,19 +313,28 @@ def solve_fAb(
     gracefully (zero output), making this safe inside larger jitted
     programs and over sharded meshes.
 
-    ``reorth=True`` (one-pass only, beyond the reference) runs the fully
-    reorthogonalized recurrence of ``algorithms/reorth.py`` — accurate at
-    large k on the spectra where the plain recurrence's orthogonality
-    collapses, for O(k²n) extra MXU work.
+    ``reorth=True``/``"full"`` (one-pass only, beyond the reference) runs
+    the fully reorthogonalized recurrence of ``algorithms/reorth.py`` —
+    accurate at large k on the spectra where the plain recurrence's
+    orthogonality collapses, for O(k²n) extra MXU work;
+    ``reorth="selective"`` sweeps only when the ω-recurrence predicts
+    semi-orthogonality loss (plain cost on benign spectra).
     """
     multi = isinstance(f, tuple)
-    if reorth and method != "one_pass":
+    mode = reorth_mode(reorth)
+    if mode is not None and method != "one_pass":
         raise ValueError(
-            "reorth=True requires method='one_pass' (reorthogonalization "
+            "reorth= requires method='one_pass' (reorthogonalization "
             "needs the stored basis; two-pass exists precisely to avoid "
             "storing it)")
     if method == "one_pass":
-        if reorth:
+        if mode == "selective":
+            from two_pass_lanczos_tpu.algorithms.reorth import (
+                pass_one_scan_selective,
+            )
+
+            decomp, v_k, _ = pass_one_scan_selective(operator.matvec, b, k)
+        elif mode == "full":
             from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
 
             decomp, v_k = pass_one_scan_reorth(operator.matvec, b, k)
