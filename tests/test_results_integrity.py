@@ -8,6 +8,7 @@ experiments are re-run piecemeal.
 import csv
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 RESULTS = Path(__file__).resolve().parent.parent / "results"
@@ -42,7 +43,9 @@ EXPECTED = {
     # beyond-reference artifact: experiments/reorth_study.py
     "reorth_inv_ill-conditioned_f32.csv": [
         "k", "relative_error_plain", "relative_error_reorth",
-        "ortho_defect_plain", "ortho_defect_reorth"],
+        "relative_error_selective", "ortho_defect_plain",
+        "ortho_defect_reorth", "ortho_defect_selective",
+        "reorth_steps_selective"],
 }
 
 
@@ -153,6 +156,14 @@ def test_reorth_artifact_story():
     errs_p = [float(r["relative_error_plain"]) for r in tail]
     assert max(errs_r) / min(errs_r) < 1.5, "reorth error not stable in k"
     assert max(errs_p) / min(errs_p) > 5.0, "plain error unexpectedly stable"
+    # selective: semi-orthogonality held at a fraction of the sweeps, and
+    # the error is as stable as full reorth's
+    defects_s = [float(r["ortho_defect_selective"]) for r in rows]
+    assert max(defects_s) < 2 * np.sqrt(np.finfo(np.float32).eps)
+    errs_s = [float(r["relative_error_selective"]) for r in tail]
+    assert max(errs_s) / min(errs_s) < 1.5, "selective error not stable in k"
+    k_last, sw_last = int(rows[-1]["k"]), int(rows[-1]["reorth_steps_selective"])
+    assert 0 < sw_last < k_last // 2, (sw_last, k_last)
     assert (RESULTS / "images" /
             "reorth_inv_ill-conditioned_f32.pdf").exists()
 

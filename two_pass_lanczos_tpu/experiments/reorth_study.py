@@ -12,11 +12,15 @@ f64`` reproduces the "both fine" control).
 
 CSV schema (new artifact, guarded by ``test_results_integrity.py``)::
 
-    k,relative_error_plain,relative_error_reorth,ortho_defect_plain,ortho_defect_reorth
+    k,relative_error_plain,relative_error_reorth,relative_error_selective,
+    ortho_defect_plain,ortho_defect_reorth,ortho_defect_selective,
+    reorth_steps_selective
 
 where ``relative_error_*`` is vs the analytic diagonal ground truth
-(f64 host arithmetic) and ``ortho_defect_*`` is ``max|V·Vᵀ − I|`` over the
-executed steps.
+(f64 host arithmetic), ``ortho_defect_*`` is ``max|V·Vᵀ − I|`` over the
+executed steps, and ``reorth_steps_selective`` counts the CGS2 sweeps the
+ω-recurrence actually fired (out of k — the selective variant's cost
+story next to its accuracy story).
 """
 
 from __future__ import annotations
@@ -65,7 +69,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from two_pass_lanczos_tpu.algorithms.one_pass import pass_one_scan
-    from two_pass_lanczos_tpu.algorithms.reorth import pass_one_scan_reorth
+    from two_pass_lanczos_tpu.algorithms.reorth import (
+        pass_one_scan_reorth,
+        pass_one_scan_selective,
+    )
     from two_pass_lanczos_tpu.functions import padded_f_e1
     from two_pass_lanczos_tpu.models.synthetic import create_diagonal_problem
 
@@ -80,10 +87,15 @@ def main(argv=None) -> int:
     x_true = f_scalar(eigs) * b_np
     true_norm = np.linalg.norm(x_true)
 
-    def run(k: int, reorth: bool):
-        if reorth:
+    def run(k: int, variant: str):
+        sweeps_fired = 0
+        if variant == "reorth":
             decomp, basis = pass_one_scan_reorth(
                 op.matvec, b, k, sweeps=args.sweeps)
+        elif variant == "selective":
+            decomp, basis, nre = pass_one_scan_selective(
+                op.matvec, b, k, sweeps=args.sweeps)
+            sweeps_fired = int(nre)
         else:
             decomp, basis = pass_one_scan(op.matvec, b, k, emit_basis=True)
         y = padded_f_e1(decomp, args.function) * decomp.b_norm
@@ -93,20 +105,24 @@ def main(argv=None) -> int:
         defect = float(np.max(np.abs(v @ v.T - np.eye(s)))) if s else 0.0
         err = float(
             np.linalg.norm(np.asarray(x, np.float64) - x_true) / true_norm)
-        return err, defect
+        return err, defect, sweeps_fired
 
     rows = []
     for k in range(args.k_min, args.k_max + 1, args.k_step):
-        err_p, def_p = run(k, reorth=False)
-        err_r, def_r = run(k, reorth=True)
+        err_p, def_p, _ = run(k, "plain")
+        err_r, def_r, _ = run(k, "reorth")
+        err_s, def_s, nre = run(k, "selective")
         log.info("k=%d plain err=%.3e defect=%.3e | reorth err=%.3e "
-                 "defect=%.3e", k, err_p, def_p, err_r, def_r)
-        rows.append((k, err_p, err_r, def_p, def_r))
+                 "defect=%.3e | selective err=%.3e defect=%.3e sweeps=%d/%d",
+                 k, err_p, def_p, err_r, def_r, err_s, def_s, nre, k)
+        rows.append((k, err_p, err_r, err_s, def_p, def_r, def_s, nre))
 
     write_csv(
         args.output,
         ["k", "relative_error_plain", "relative_error_reorth",
-         "ortho_defect_plain", "ortho_defect_reorth"],
+         "relative_error_selective", "ortho_defect_plain",
+         "ortho_defect_reorth", "ortho_defect_selective",
+         "reorth_steps_selective"],
         rows,
     )
     return 0
