@@ -175,6 +175,54 @@ def test_slq_on_vendored_kkt_operator():
     assert err < 5.0 * float(res.stderr) + 1e-9 * truth
 
 
+def test_adaptive_slq_zero_variance_stops_at_minimum():
+    from two_pass_lanczos_tpu.slq import slq_trace_adaptive
+
+    d = np.array([1.0, 4.0, 9.0] * 50)
+    res = slq_trace_adaptive(_diag_op(d), "inv", k=8, key=jax.random.key(0),
+                             batch=4, target_rel_stderr=1e-6)
+    assert res.samples.shape[0] == 8  # two batches, then certified
+    assert float(res.estimate) == pytest.approx(float(np.sum(1.0 / d)),
+                                                rel=1e-9)
+
+
+def test_adaptive_slq_grows_probes_to_target():
+    from two_pass_lanczos_tpu.slq import slq_trace_adaptive
+
+    d = np.linspace(1.0, 10.0, 500)
+    truth = float(np.sum(1.0 / d))
+    res = slq_trace_adaptive(_diag_op(d), "inv", k=30,
+                             key=jax.random.key(5), probe="gaussian",
+                             target_rel_stderr=0.02, batch=8,
+                             max_probes=512)
+    m = res.samples.shape[0]
+    assert m > 16  # gaussian on a spread spectrum needs more than 2 batches
+    assert float(res.stderr) <= 0.02 * abs(float(res.estimate)) + 1e-12
+    assert abs(float(res.estimate) - truth) < 5 * float(res.stderr) + 1e-9
+
+
+def test_adaptive_slq_respects_max_probes():
+    from two_pass_lanczos_tpu.slq import slq_trace_adaptive
+
+    d = np.linspace(1.0, 10.0, 300)
+    res = slq_trace_adaptive(_diag_op(d), "inv", k=20,
+                             key=jax.random.key(1), probe="gaussian",
+                             target_rel_stderr=1e-9, batch=8, max_probes=24)
+    assert res.samples.shape[0] == 24  # capped, target unreachable
+    assert float(res.stderr) > 0.0
+
+
+def test_adaptive_slq_validation():
+    from two_pass_lanczos_tpu.slq import slq_trace_adaptive
+
+    op = _diag_op(np.ones(8))
+    with pytest.raises(ValueError, match="batch"):
+        slq_trace_adaptive(op, "inv", key=jax.random.key(0), batch=1)
+    with pytest.raises(ValueError, match="target_rel_stderr"):
+        slq_trace_adaptive(op, "inv", key=jax.random.key(0),
+                           target_rel_stderr=0.0)
+
+
 def test_spectral_density_integrates_to_one_and_locates_mass():
     """Three well-separated eigenvalue clusters: the DOS estimate must
     integrate to ~1, put ~equal mass near each cluster, and vanish in the

@@ -98,6 +98,7 @@ from two_pass_lanczos_tpu.slq import (
     slq_logdet,
     slq_spectral_density,
     slq_trace,
+    slq_trace_adaptive,
 )
 from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
 from two_pass_lanczos_tpu.ops.kkt_fused_df import DFFusedKKTSolver
@@ -159,6 +160,7 @@ __all__ = [
     "batched_quadratic_form",
     "batched_ritz_weights",
     "slq_trace",
+    "slq_trace_adaptive",
     "slq_logdet",
     "slq_spectral_density",
     # compensated-precision (double-float) TPU path

@@ -34,6 +34,7 @@ from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosDecomposition,
@@ -47,6 +48,7 @@ __all__ = [
     "batched_quadratic_form",
     "batched_ritz_weights",
     "slq_trace",
+    "slq_trace_adaptive",
     "slq_logdet",
     "slq_spectral_density",
 ]
@@ -222,6 +224,55 @@ def slq_trace(
     if not callable(f):
         _f_of_theta(jnp.ones(1), f)  # reject unknown strings before tracing
     return _slq_run(operator, probes, k, f)
+
+
+def slq_trace_adaptive(
+    operator: LinearOperator,
+    f: FSpec = "inv",
+    *,
+    k: int = 50,
+    key: jax.Array,
+    probe: str = "rademacher",
+    target_rel_stderr: float = 0.01,
+    batch: int = 8,
+    max_probes: int = 512,
+) -> SLQResult:
+    """:func:`slq_trace` with the probe count chosen adaptively: draw
+    ``batch`` probes at a time (one compiled shape, reused every round)
+    until the sample standard error falls below
+    ``target_rel_stderr·|estimate|`` or ``max_probes`` is reached.
+
+    Controls Monte-Carlo error only — the quadrature bias is set by ``k``
+    (make k large enough that bias ≪ the stderr target). Zero-variance
+    exactness cases (e.g. Rademacher probes on diagonal A) stop after the
+    minimum two batches.
+    """
+    if batch < 2:
+        raise ValueError("batch must be >= 2 (variance needs >= 2 samples)")
+    if not 0.0 < target_rel_stderr:
+        raise ValueError("target_rel_stderr must be > 0")
+    n = operator.shape[0]
+    if not callable(f):
+        _f_of_theta(jnp.ones(1), f)
+    samples = []
+    while True:
+        key, sub = jax.random.split(key)
+        probes = _draw_probes(sub, batch, n, operator.dtype, probe)
+        samples.append(np.asarray(_slq_run(operator, probes, k, f).samples))
+        all_s = np.concatenate(samples)
+        m = all_s.shape[0]
+        est = float(np.mean(all_s))
+        stderr = float(np.std(all_s, ddof=1) / np.sqrt(m))
+        # two batches minimum: one batch's variance estimate is too noisy
+        # to certify the target
+        if m >= 2 * batch and stderr <= target_rel_stderr * max(abs(est), 1e-300):
+            break
+        if m >= max_probes:
+            break
+    dt = all_s.dtype
+    return SLQResult(estimate=jnp.asarray(est, dt),
+                     stderr=jnp.asarray(stderr, dt),
+                     samples=jnp.asarray(all_s))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
