@@ -1,0 +1,118 @@
+"""Block Lanczos (two_pass_lanczos_tpu.algorithms.block).
+
+Oracles: analytic diagonal truths, agreement with the single-vector
+solvers per column (p=1 must coincide with the β>0-normalized standard
+recurrence), and the capability single-vector Krylov provably lacks —
+resolving eigenvalue multiplicities ≤ p (the reference methodology of
+``tests/correctness.rs:1-23`` extended to blocks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import two_pass_lanczos_tpu as tpl
+from two_pass_lanczos_tpu.algorithms.block import (
+    block_pass_one,
+    solve_fAb_block,
+)
+
+
+def _diag_op(d):
+    return tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+
+
+def test_p1_matches_single_vector_recurrence():
+    """Width-1 blocks: the QR-with-positive-diagonal convention reduces to
+    the β > 0 normalization — (α, β) match the core scan bit-for-bit up
+    to the n-dependent reduction order (same dtype, rel 1e-13)."""
+    n, k = 200, 30
+    d = np.linspace(1.0, 9.0, n)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    op = _diag_op(d)
+    dec1 = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+    decb, _ = block_pass_one(op.matvec, jnp.asarray(b)[:, None], k)
+    assert int(decb.steps_taken) == dec1.steps()
+    np.testing.assert_allclose(np.asarray(decb.a_blocks)[:, 0, 0],
+                               np.asarray(dec1.alphas), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(decb.b_blocks)[:k - 1, 0, 0],
+                               np.asarray(dec1.betas)[:k - 1], rtol=1e-11)
+    assert float(decb.r0[0, 0]) == pytest.approx(float(dec1.b_norm),
+                                                 rel=1e-14)
+
+
+def test_block_fAB_matches_analytic_exp_and_inv():
+    n, p, k = 300, 4, 40
+    d = np.linspace(0.5, 6.0, n)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((n, p))
+    op = _diag_op(d)
+    for f, truth in (("exp", np.exp(d)[:, None] * B),
+                     ("inv", B / d[:, None])):
+        x = solve_fAb_block(op, jnp.asarray(B), k, f)
+        rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
+        assert rel < 1e-10, (f, rel)
+
+
+def test_block_matches_per_column_single_solves():
+    n, p, k = 250, 3, 50
+    d = np.linspace(1.0, 12.0, n)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((n, p))
+    op = _diag_op(d)
+    x_blk = np.asarray(solve_fAb_block(op, jnp.asarray(B), k, "inv"))
+    for j in range(p):
+        x_col = np.asarray(tpl.solve_fAb(op, jnp.asarray(B[:, j]), k=k,
+                                         f="inv", method="one_pass"))
+        rel = np.linalg.norm(x_blk[:, j] - x_col) / np.linalg.norm(x_col)
+        assert rel < 1e-9, (j, rel)
+
+
+def test_block_resolves_multiplicity_in_few_steps():
+    """3 distinct eigenvalues, each of multiplicity 2, block width 2:
+    the block space is A-invariant after 3 block steps and the answer is
+    exact — single-vector Krylov cannot even represent both copies."""
+    d = np.array([1.0, 1.0, 2.0, 2.0, 5.0, 5.0] * 20)
+    n = len(d)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((n, 2))
+    op = _diag_op(d)
+    decomp, _ = block_pass_one(op.matvec, jnp.asarray(B), 10)
+    # breakdown (invariant block subspace) strictly before 10 steps
+    assert 3 <= int(decomp.steps_taken) <= 6
+    x = solve_fAb_block(op, jnp.asarray(B), 10, "inv")
+    np.testing.assert_allclose(np.asarray(x), B / d[:, None], rtol=1e-10)
+
+
+def test_basis_block_orthonormality():
+    n, p, k = 300, 3, 30
+    d = np.linspace(0.1, 40.0, n)
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((n, p))
+    decomp, basis = block_pass_one(_diag_op(d).matvec, jnp.asarray(B), k)
+    s = int(decomp.steps_taken)
+    v = np.asarray(basis)[:s].transpose(1, 0, 2).reshape(n, s * p)
+    g = v.T @ v
+    assert np.max(np.abs(g - np.eye(s * p))) < 1e-8
+
+
+def test_zero_and_rank_deficient_b():
+    op = _diag_op(np.linspace(1.0, 2.0, 16))
+    x0 = solve_fAb_block(op, jnp.zeros((16, 2), jnp.float64), 4, "inv")
+    np.testing.assert_array_equal(np.asarray(x0), np.zeros((16, 2)))
+    # rank-1 block of width 2: initial QR is rank deficient -> zeros
+    rng = np.random.default_rng(5)
+    col = rng.standard_normal(16)
+    b_def = np.stack([col, 2.0 * col], axis=1)
+    decomp, _ = block_pass_one(op.matvec, jnp.asarray(b_def), 4)
+    assert int(decomp.steps_taken) == 0
+
+
+def test_validation():
+    op = _diag_op(np.ones(8))
+    with pytest.raises(ValueError, match="k must be"):
+        block_pass_one(op.matvec, jnp.ones((8, 2), jnp.float64), 0)
+    with pytest.raises(ValueError, match="must be \\(n, p\\)"):
+        block_pass_one(op.matvec, jnp.ones(8, jnp.float64), 4)
+    with pytest.raises(ValueError, match="unknown function"):
+        solve_fAb_block(op, jnp.ones((8, 2), jnp.float64), 4, "huh")

@@ -84,6 +84,11 @@ from two_pass_lanczos_tpu.spectrum import (
     ritz_residual_bounds,
     ritz_values,
 )
+from two_pass_lanczos_tpu.algorithms.block import (
+    BlockDecomposition,
+    block_pass_one,
+    solve_fAb_block,
+)
 from two_pass_lanczos_tpu.algorithms.chebyshev import (
     chebyshev_coefficients,
     chebyshev_fAb,
@@ -154,6 +159,10 @@ __all__ = [
     "chebyshev_fAb",
     "chebyshev_coefficients",
     "estimate_interval",
+    # block Lanczos: f(A)B on one shared block Krylov space (beyond the reference)
+    "BlockDecomposition",
+    "block_pass_one",
+    "solve_fAb_block",
     # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
     "SLQResult",
     "lanczos_pass_one_batched",
