@@ -157,6 +157,30 @@ def test_unknown_function_spec_rejected():
         quadratic_form(decomp, "sqrt")
 
 
+def test_accepts_df_path_decomposition():
+    """The double-float pass-one decomposition (hi/lo pairs) feeds the
+    same analyses, folded to f64 — the docstring's cross-implementation
+    pytree claim, pinned for the df path specifically."""
+    n, k = 150, 30
+    d = np.linspace(1.0, 10.0, n)
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(n)
+    op_df = tpl.DFDiagonalOperator.from_f64(d)
+    dec_df = tpl.lanczos_pass_one_df(op_df, b, k)
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    dec64 = tpl.lanczos_pass_one(op, jnp.asarray(b, jnp.float64), k)
+    # Ritz values from the df coefficients match the f64 oracle's closely
+    np.testing.assert_allclose(ritz_values(dec_df), ritz_values(dec64),
+                               rtol=1e-7)
+    q_df = quadratic_form(dec_df, "inv")
+    assert q_df == pytest.approx(float(b @ (b / d)), rel=1e-7)
+    bounds = ritz_residual_bounds(dec_df)
+    assert bounds.shape == (k,) and np.all(bounds >= 0)
+    lo, hi = gauss_radau_bracket(dec_df, lambda_min=1.0)
+    truth = float(b @ (b / d))
+    assert lo <= truth * (1 + 1e-7) and hi >= truth * (1 - 1e-7)
+
+
 def test_accepts_chunked_path_decomposition():
     """The pytree contract: decompositions from other pass-one
     implementations feed the same analyses unchanged."""

@@ -55,12 +55,41 @@ __all__ = [
 FSpec = Union[str, Callable[[np.ndarray], np.ndarray]]
 
 
+def _is_df(decomp) -> bool:
+    # DFDecomposition (algorithms/df.py): coefficients are (hi, lo) pairs
+    return hasattr(decomp, "alphas_f64")
+
+
+def _fold_df_scalar(x, i=None) -> float:
+    hi = np.asarray(x.hi, np.float64)
+    lo = np.asarray(x.lo, np.float64)
+    v = hi + lo
+    return float(v if i is None else v[i])
+
+
+def _beta_last(decomp) -> float:
+    if _is_df(decomp):
+        s = decomp.steps()
+        return _fold_df_scalar(decomp.betas, s - 1) if s else 0.0
+    return decomp.beta_last()
+
+
+def _b_norm(decomp) -> float:
+    if _is_df(decomp):
+        return _fold_df_scalar(decomp.b_norm)
+    return float(decomp.b_norm)
+
+
 def tridiagonal_valid(decomp: LanczosDecomposition) -> Tuple[np.ndarray, np.ndarray]:
     """The valid (diagonal, off-diagonal) of T_s as host f64 arrays.
 
     Shapes ``(s,)`` and ``(s-1,)`` with ``s = steps_taken`` — the
     reference's unpadded storage convention (``src/algorithms/mod.rs:98``).
+    Accepts the double-float path's decomposition too (hi+lo folded to
+    f64, preserving its beyond-f32 accuracy).
     """
+    if _is_df(decomp):
+        return decomp.alphas_f64(), decomp.betas_f64()
     d = decomp.alphas_valid().astype(np.float64)
     e = decomp.betas_valid().astype(np.float64)
     return d, e
@@ -103,7 +132,7 @@ def ritz_residual_bounds(decomp: LanczosDecomposition) -> np.ndarray:
     theta, s_vecs = ritz_pairs(decomp)
     if theta.size == 0:
         return theta
-    return decomp.beta_last() * np.abs(s_vecs[-1, :])
+    return _beta_last(decomp) * np.abs(s_vecs[-1, :])
 
 
 def _f_of_theta(theta: np.ndarray, f: FSpec) -> np.ndarray:
@@ -130,7 +159,7 @@ def quadratic_form(decomp: LanczosDecomposition, f: FSpec = "inv") -> float:
     if theta.size == 0:
         return 0.0
     w = s_vecs[0, :] ** 2
-    return float(decomp.b_norm) ** 2 * float(np.dot(_f_of_theta(theta, f), w))
+    return _b_norm(decomp) ** 2 * float(np.dot(_f_of_theta(theta, f), w))
 
 
 def gauss_radau_bracket(
@@ -155,7 +184,7 @@ def gauss_radau_bracket(
         raise ValueError("gauss_radau_bracket requires lambda_min > 0 (SPD A)")
     lower = quadratic_form(decomp, "inv")
     d, e = tridiagonal_valid(decomp)
-    beta_s = decomp.beta_last()
+    beta_s = _beta_last(decomp)
     if d.size == 0:
         return 0.0, 0.0
     if beta_s == 0.0:
@@ -177,6 +206,6 @@ def gauss_radau_bracket(
     d_hat = np.concatenate([d, [lambda_min + delta_last]])
     e_hat = np.concatenate([e, [beta_s]])
     theta, s_vecs = _eigh_tridiagonal(d_hat, e_hat)
-    upper = float(decomp.b_norm) ** 2 * float(
+    upper = _b_norm(decomp) ** 2 * float(
         np.dot(1.0 / theta, s_vecs[0, :] ** 2))
     return lower, upper
