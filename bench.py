@@ -14,13 +14,36 @@ of a scalar reduction of the result, and the compile call is excluded.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+#: Hard wall for the whole bench. The tunneled TPU backend HANGS (not
+#: errors) when the tunnel is down — observed for hours on 2026-08-17 —
+#: and nothing inside the hung XLA call can be interrupted from Python.
+#: A daemon watchdog turns that into an honest failure instead of
+#: stalling the driver. Normal runs finish in ~2-3 min incl. compile.
+WATCHDOG_S = 900
+
+
+def _arm_watchdog():
+    def fire():
+        print(f"bench.py watchdog: no result after {WATCHDOG_S}s — "
+              "TPU tunnel presumed down; aborting without a metric.",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main() -> int:
+    watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +155,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             record["df_fused_error"] = str(e)[:200]
 
+    watchdog.cancel()
     print(json.dumps(record))
     return 0
 
