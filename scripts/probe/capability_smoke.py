@@ -1,0 +1,123 @@
+"""On-chip f32 smoke of the round-4 capability layer (run on the real TPU).
+
+One serialized TPU client; each block prints PASS/FAIL + wall time.
+Validates that the new modules' device paths (batched eigh, device QR,
+fori_loop-with-eigh restart cycle, chebyshev scan, selective-reorth cond)
+compile and produce sane numbers on real hardware — CPU tests cover the
+math, this covers the lowering. Usage: python scripts/probe/capability_smoke.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        detail = fn()
+        print(f"PASS {name:34s} {time.time() - t0:7.2f}s  {detail}", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001 — smoke harness reports all
+        print(f"FAIL {name:34s} {time.time() - t0:7.2f}s  {type(e).__name__}: {e}",
+              flush=True)
+        return False
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if "--any-backend" in argv:  # CPU dry-run of the harness itself
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    import two_pass_lanczos_tpu as tpl
+
+    if "--any-backend" not in argv:
+        assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(0)
+    n = 4096
+    d_np = np.linspace(1.0, 10.0, n)
+    d = jnp.asarray(d_np, jnp.float32)
+    op = tpl.DiagonalOperator(d)
+    b_np = rng.standard_normal(n).astype(np.float32)
+    b = jnp.asarray(b_np)
+
+    def slq():
+        res = tpl.slq_trace(op, "inv", k=30, num_probes=8,
+                            key=jax.random.key(1))
+        truth = float(np.sum(1.0 / d_np))
+        rel = abs(float(res.estimate) - truth) / truth
+        assert rel < 0.05, rel
+        return f"tr(A^-1) rel={rel:.2e}"
+
+    def dos():
+        grid = np.linspace(0.0, 11.0, 111)
+        phi = np.asarray(tpl.slq_spectral_density(
+            op, grid, sigma=0.3, k=24, num_probes=8, key=jax.random.key(2)))
+        mass = float(np.sum(phi) * (grid[1] - grid[0]))
+        assert abs(mass - 1.0) < 0.05, mass
+        return f"DOS mass={mass:.4f}"
+
+    def eig():
+        res = tpl.eigsh(op, nev=4, which="LA", tol=1e-4, maxiter=60)
+        err = abs(res.eigenvalues[-1] - d_np.max()) / d_np.max()
+        assert res.converged and err < 1e-3, (res.converged, err)
+        return f"lam_max rel={err:.2e} restarts={res.restarts}"
+
+    def cheb():
+        x = tpl.chebyshev_fAb(op, b, "exp", degree=40,
+                              interval=(1.0, 10.0))
+        truth = np.exp(d_np) * b_np
+        rel = float(np.linalg.norm(np.asarray(x, np.float64) - truth)
+                    / np.linalg.norm(truth))
+        assert rel < 1e-4, rel
+        return f"exp(A)b rel={rel:.2e}"
+
+    def block():
+        B = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+        x = tpl.solve_fAb_block(op, B, 30, "inv")
+        truth = np.asarray(B, np.float64) / d_np[:, None]
+        rel = float(np.linalg.norm(np.asarray(x, np.float64) - truth)
+                    / np.linalg.norm(truth))
+        assert rel < 1e-3, rel
+        return f"f(A)B rel={rel:.2e}"
+
+    def selective():
+        x = tpl.solve_fAb(op, b, k=60, f="inv", method="one_pass",
+                          reorth="selective")
+        rel = float(np.linalg.norm(np.asarray(x, np.float64)
+                                   - b_np / d_np)
+                    / np.linalg.norm(b_np / d_np))
+        assert rel < 1e-3, rel
+        return f"selective f(A)b rel={rel:.2e}"
+
+    def radau():
+        dec = tpl.lanczos_pass_one(op, b, 40)
+        lo, hi = tpl.gauss_radau_bracket(dec, lambda_min=1.0)
+        truth = float(b_np @ (b_np / d_np))
+        assert lo <= truth * 1.01 and hi >= truth * 0.99, (lo, truth, hi)
+        return f"bracket width={(hi - lo):.3e}"
+
+    results = [
+        check("slq_trace (batched eigh)", slq),
+        check("slq_spectral_density", dos),
+        check("eigsh (restart cycle)", eig),
+        check("chebyshev_fAb (scan)", cheb),
+        check("solve_fAb_block (device QR)", block),
+        check("reorth='selective' (cond)", selective),
+        check("gauss_radau_bracket", radau),
+    ]
+    print(f"{sum(results)}/{len(results)} capability smokes passed on "
+          f"{jax.devices()[0].device_kind}", flush=True)
+    return 0 if all(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
