@@ -36,6 +36,32 @@ def test_timed_solve_repeats():
     assert len(dt1.samples) == 1 and float(dt1) == dt1.min_s
 
 
+def test_reorth_study_cli_schema(tmp_path):
+    """The study CLI emits the full three-variant schema (incl. the
+    selective sweep count) on a tiny grid."""
+    import csv
+
+    from two_pass_lanczos_tpu.experiments.reorth_study import main
+
+    out = tmp_path / "study.csv"
+    rc = main(["--function", "inv", "--scenario", "well-conditioned",
+               "--size", "64", "--k-min", "5", "--k-max", "15",
+               "--k-step", "5", "--dtype", "f64", "--output", str(out)])
+    assert rc == 0
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == 3
+    assert set(rows[0].keys()) == {
+        "k", "relative_error_plain", "relative_error_reorth",
+        "relative_error_selective", "ortho_defect_plain",
+        "ortho_defect_reorth", "ortho_defect_selective",
+        "reorth_steps_selective"}
+    # f64 well-conditioned: selective fires nothing, matches plain exactly
+    for r in rows:
+        assert int(r["reorth_steps_selective"]) == 0
+        assert float(r["relative_error_selective"]) == float(
+            r["relative_error_plain"])
+
+
 def test_tradeoff_isolated_per_variant_k(tmp_path):
     """--isolate spawns one worker per (variant, k): every row's rss_kb is a
     single-configuration VmPeak (the reference's semantics), and the CSV
