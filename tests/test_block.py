@@ -116,3 +116,9 @@ def test_validation():
         block_pass_one(op.matvec, jnp.ones(8, jnp.float64), 4)
     with pytest.raises(ValueError, match="unknown function"):
         solve_fAb_block(op, jnp.ones((8, 2), jnp.float64), 4, "huh")
+
+
+def test_complex_block_rejected_with_guidance():
+    op = _diag_op(np.ones(8))
+    with pytest.raises(TypeError, match="real symmetric"):
+        block_pass_one(op.matvec, jnp.ones((8, 2), jnp.complex64), 3)

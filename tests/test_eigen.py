@@ -177,3 +177,9 @@ def test_unconverged_reports_honestly():
     assert not res.converged
     assert res.restarts == 1
     _check_pairs(res, lambda u: d * u)
+
+
+def test_complex_operator_rejected_with_guidance():
+    op = tpl.DiagonalOperator(jnp.ones(8, jnp.complex64))
+    with pytest.raises(TypeError, match="real symmetric"):
+        eigsh(op, nev=2)

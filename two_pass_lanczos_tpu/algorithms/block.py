@@ -89,6 +89,11 @@ def block_pass_one(matvec, b_block: jax.Array, k: int):
     if p < 1 or p > n:
         raise ValueError(f"block width p={p} must be in [1, n={n}]")
     rdt = b_block.dtype
+    if jnp.issubdtype(rdt, jnp.complexfloating):
+        raise TypeError(
+            "block_pass_one supports real symmetric operators only (the "
+            "block projections use plain transposes); the single-vector "
+            "paths are complex-Hermitian-generic")
     tol = breakdown_tolerance(rdt)
 
     def block_mv(v):  # (n, p) -> (n, p)

@@ -229,6 +229,12 @@ def eigsh(
     # thickness: the standard Wu–Simon midpoint between nev and ncv
     ell = eigsh_thickness(nev, ncv)
     rdt = operator.dtype
+    if jnp.issubdtype(rdt, jnp.complexfloating):
+        raise TypeError(
+            "eigsh supports real symmetric operators only (the CGS "
+            "projections and H assembly are real); for a Hermitian "
+            "complex A, eigen-solve the real form or use the f(A)b "
+            "solvers, which are complex-generic")
     if key is None:
         key = jax.random.key(0)
     key, sub = jax.random.split(key)
