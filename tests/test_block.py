@@ -122,3 +122,21 @@ def test_complex_block_rejected_with_guidance():
     op = _diag_op(np.ones(8))
     with pytest.raises(TypeError, match="real symmetric"):
         block_pass_one(op.matvec, jnp.ones((8, 2), jnp.complex64), 3)
+
+
+def test_small_norm_f32_block_is_valid_input():
+    """Regression: the rank tests are scale-relative — an f32 block with
+    tiny (but well-conditioned) column norms must solve correctly, not be
+    silently zeroed by an absolute ε cut (the zero_tolerance rationale)."""
+    n, p = 64, 2
+    d = np.linspace(1.0, 4.0, n)
+    rng = np.random.default_rng(9)
+    B = (1e-5 * rng.standard_normal((n, p))).astype(np.float32)
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float32))
+    decomp, _ = block_pass_one(op.matvec, jnp.asarray(B), 20)
+    assert int(decomp.steps_taken) > 0
+    x = np.asarray(solve_fAb_block(op, jnp.asarray(B), 20, "inv"),
+                   np.float64)
+    truth = B.astype(np.float64) / d[:, None]
+    rel = np.linalg.norm(x - truth) / np.linalg.norm(truth)
+    assert rel < 1e-4, rel

@@ -347,3 +347,20 @@ class TestSelective:
         dec0, _, _ = pass_one_scan_selective(
             op.matvec, jnp.zeros(2, jnp.float64), 2)
         assert int(dec0.steps_taken) == 0
+
+
+def test_sharded_reorth_rejects_typos():
+    """Regression: the sharded solver normalizes reorth like the
+    single-device API — a typo raises instead of silently running the
+    O(k²n) full-reorth path."""
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedSparseOperator, make_mesh,
+    )
+
+    n = 32
+    idx = np.arange(n)
+    sop = ShardedSparseOperator(n, idx, idx, np.linspace(1, 2, n),
+                                make_mesh(2))
+    with pytest.raises(ValueError, match="reorth must be"):
+        sop.solve_fAb(np.ones(n), k=4, f="inv", method="one_pass",
+                      reorth="selectve")

@@ -330,3 +330,16 @@ def test_slq_input_validation():
         slq_trace(op, "sqrtish", k=4, num_probes=2, key=jax.random.key(0))
     with pytest.raises(ValueError, match="bs must be"):
         lanczos_pass_one_batched(op, jnp.ones(8, jnp.float64), 3)
+
+
+def test_adaptive_slq_cap_is_exact():
+    """Regression: the probe budget is a hard cap even when it is not a
+    batch multiple (the last draw is clamped)."""
+    from two_pass_lanczos_tpu.slq import slq_trace_adaptive
+
+    d = np.linspace(1.0, 10.0, 200)
+    res = slq_trace_adaptive(_diag_op(d), "inv", k=16,
+                             key=jax.random.key(2), probe="gaussian",
+                             target_rel_stderr=1e-12, batch=8,
+                             max_probes=10)
+    assert res.samples.shape[0] == 10

@@ -100,12 +100,17 @@ def block_pass_one(matvec, b_block: jax.Array, k: int):
         return jax.vmap(matvec, in_axes=1, out_axes=1)(v)
 
     def rank_ok(r, ref_scale):
-        return jnp.min(jnp.abs(jnp.diagonal(r))) > tol * jnp.maximum(
-            ref_scale, jnp.ones((), ref_scale.dtype))
+        # RELATIVE rank test: smallest QR diagonal vs the larger of the
+        # factor's own scale and the reference scale. No absolute floor —
+        # an ε-absolute cut would reject perfectly valid small-norm blocks
+        # in f32/bf16 (the zero_tolerance rationale, core.py). A zero
+        # block gives scale 0 and is rejected (min 0 > 0 is false).
+        diag = jnp.abs(jnp.diagonal(r))
+        scale = jnp.maximum(jnp.max(diag), ref_scale)
+        return jnp.min(diag) > tol * scale
 
     v0, r0 = _qr_pos(b_block)
-    scale0 = jnp.max(jnp.abs(jnp.diagonal(r0)))
-    ok0 = rank_ok(r0, scale0)
+    ok0 = rank_ok(r0, jnp.zeros((), rdt))
     v0 = jnp.where(ok0, v0, jnp.zeros_like(v0))
 
     def step(carry, _):

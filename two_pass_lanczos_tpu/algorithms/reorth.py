@@ -44,6 +44,7 @@ from two_pass_lanczos_tpu.algorithms.core import (
     breakdown_tolerance,
     init_carry,
     l2_norm,
+    lanczos_recurrence_step,
     zero_tolerance,
 )
 
@@ -208,16 +209,11 @@ def make_pass_one_step_selective(matvec, dtype, *, sweeps: int = 2,
         row = jnp.where(executed, lc.v_curr, basis[j])
         basis = jax.lax.dynamic_update_index_in_dim(basis, row, j, 0)
 
-        # Plain recurrence (identical leading FP sequence to core's step).
-        w = matvec(lc.v_curr)
-        w = w - lc.beta_prev.astype(dt) * lc.v_prev
-        alpha_partial = jnp.real(jnp.vdot(lc.v_curr, w))
-        if reduce_sum is not None:
-            alpha_partial = reduce_sum(alpha_partial)
-        alpha = alpha_partial.astype(rdt)
-        w = w - alpha.astype(dt) * lc.v_curr
-
-        beta_tent = l2_norm(w, reduce_sum)
+        # THE plain recurrence — shared with core so "identical leading FP
+        # sequence to the plain scan" holds structurally, not by keeping
+        # two hand-written copies in sync.
+        alpha, beta_tent, w = lanczos_recurrence_step(
+            matvec, lc.v_curr, lc.v_prev, lc.beta_prev, reduce_sum)
         safe_beta = jnp.where(beta_tent > 0, beta_tent, jnp.ones((), rdt))
         anorm = jnp.maximum(
             anorm, jnp.abs(alpha) + beta_tent + lc.beta_prev)
@@ -228,8 +224,10 @@ def make_pass_one_step_selective(matvec, dtype, *, sweeps: int = 2,
                + _shift_right(bh * om_curr)
                - lc.beta_prev * om_prev)
         noise = eps * anorm / safe_beta
-        om_next = jnp.where(idx < j, num / safe_beta
-                            + jnp.sign(num) * noise + noise, 0.0)
+        # inflate the MAGNITUDE (sign-symmetric; sign(0) -> +1): the ε·‖T‖
+        # rounding floor must grow |ω| regardless of its sign
+        sgn = jnp.where(num < 0, -1.0, 1.0).astype(num.dtype)
+        om_next = jnp.where(idx < j, num / safe_beta + sgn * noise, 0.0)
         om_trigger = jnp.max(jnp.abs(om_next)) > jnp.asarray(thresh, rdt)
         do_reorth = jnp.logical_and(
             executed, jnp.logical_or(om_trigger, force))

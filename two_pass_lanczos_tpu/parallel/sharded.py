@@ -391,14 +391,17 @@ class ShardedSparseOperator:
         the basis row-sharded along n — each CGS sweep psums one
         (k,)-vector of projection partials per step.
         """
+        from two_pass_lanczos_tpu.solvers import reorth_mode
+
+        reorth = reorth_mode(reorth) or False  # normalize; reject typos
         if reorth:
             if method != "one_pass":
                 raise ValueError(
-                    "reorth=True requires method='one_pass' (the stored "
+                    "reorth= requires method='one_pass' (the stored "
                     "basis it orthogonalizes against is the one-pass state)")
             if callback is not None:
                 raise ValueError(
-                    "reorth=True is not supported together with callback=")
+                    "reorth= is not supported together with callback=")
         if callback is not None:
             if method != "two_pass":
                 raise ValueError(

@@ -254,10 +254,14 @@ def slq_trace_adaptive(
     n = operator.shape[0]
     if not callable(f):
         _f_of_theta(jnp.ones(1), f)
+    if max_probes < 2:
+        raise ValueError("max_probes must be >= 2")
     samples = []
+    m = 0
     while True:
+        take = min(batch, max_probes - m)  # never overspend the cap
         key, sub = jax.random.split(key)
-        probes = _draw_probes(sub, batch, n, operator.dtype, probe)
+        probes = _draw_probes(sub, take, n, operator.dtype, probe)
         samples.append(np.asarray(_slq_run(operator, probes, k, f).samples))
         all_s = np.concatenate(samples)
         m = all_s.shape[0]
@@ -265,7 +269,8 @@ def slq_trace_adaptive(
         stderr = float(np.std(all_s, ddof=1) / np.sqrt(m))
         # two batches minimum: one batch's variance estimate is too noisy
         # to certify the target
-        if m >= 2 * batch and stderr <= target_rel_stderr * max(abs(est), 1e-300):
+        if m >= min(2 * batch, max_probes) and (
+                stderr <= target_rel_stderr * max(abs(est), 1e-300)):
             break
         if m >= max_probes:
             break
