@@ -140,3 +140,61 @@ def test_small_norm_f32_block_is_valid_input():
     truth = B.astype(np.float64) / d[:, None]
     rel = np.linalg.norm(x - truth) / np.linalg.norm(truth)
     assert rel < 1e-4, rel
+
+
+def test_pass_two_replay_matches_pass_one():
+    """The two-pass replay regenerates pass one's basis to ≤ ~1 ulp/step
+    (same op sequence, same stored-R normalization; bitwise equality is
+    not guaranteed across separately compiled GEMM programs — see the
+    block_pass_two docstring; the single-vector path's drift == 0
+    guarantee is pinned elsewhere)."""
+    from two_pass_lanczos_tpu.algorithms.block import block_pass_two
+
+    n, p, k = 200, 3, 25
+    d = np.linspace(0.5, 30.0, n)
+    rng = np.random.default_rng(11)
+    B = jnp.asarray(rng.standard_normal((n, p)))
+    op = _diag_op(d)
+    decomp, basis1 = block_pass_one(op.matvec, B, k)
+    y_dummy = jnp.zeros((k, p, p), B.dtype)
+    _, basis2 = block_pass_two(op.matvec, B, decomp, y_dummy,
+                               emit_basis=True)
+    drift = np.max(np.abs(np.asarray(basis1) - np.asarray(basis2)))
+    assert drift < 1e-12, drift
+
+
+def test_two_pass_matches_one_pass_solution():
+    n, p, k = 260, 3, 40
+    d = np.linspace(0.8, 9.0, n)
+    rng = np.random.default_rng(12)
+    B = rng.standard_normal((n, p))
+    op = _diag_op(d)
+    for f in ("inv", "exp"):
+        x1 = np.asarray(solve_fAb_block(op, jnp.asarray(B), k, f,
+                                        method="one_pass"))
+        x2 = np.asarray(solve_fAb_block(op, jnp.asarray(B), k, f,
+                                        method="two_pass"))
+        rel = np.linalg.norm(x1 - x2) / np.linalg.norm(x1)
+        assert rel < 1e-12, (f, rel)
+    with pytest.raises(ValueError, match="unknown method"):
+        solve_fAb_block(op, jnp.asarray(B), k, "inv", method="three_pass")
+
+
+def test_two_pass_after_breakdown():
+    """Breakdown (invariant block subspace): the replay honors
+    steps_taken and the two-pass result is exact like the one-pass."""
+    d = np.array([1.0, 1.0, 2.0, 2.0, 5.0, 5.0] * 20)
+    rng = np.random.default_rng(13)
+    B = rng.standard_normal((len(d), 2))
+    op = _diag_op(d)
+    x = np.asarray(solve_fAb_block(op, jnp.asarray(B), 10, "inv",
+                                   method="two_pass"))
+    np.testing.assert_allclose(x, B / d[:, None], rtol=1e-10)
+
+
+def test_pass_one_no_basis_mode():
+    op = _diag_op(np.linspace(1.0, 5.0, 50))
+    B = jnp.asarray(np.random.default_rng(14).standard_normal((50, 2)))
+    decomp, basis = block_pass_one(op.matvec, B, 8, emit_basis=False)
+    assert basis is None
+    assert int(decomp.steps_taken) == 8

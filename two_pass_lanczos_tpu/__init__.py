@@ -87,6 +87,7 @@ from two_pass_lanczos_tpu.spectrum import (
 from two_pass_lanczos_tpu.algorithms.block import (
     BlockDecomposition,
     block_pass_one,
+    block_pass_two,
     solve_fAb_block,
 )
 from two_pass_lanczos_tpu.algorithms.chebyshev import (
@@ -162,6 +163,7 @@ __all__ = [
     # block Lanczos: f(A)B on one shared block Krylov space (beyond the reference)
     "BlockDecomposition",
     "block_pass_one",
+    "block_pass_two",
     "solve_fAb_block",
     # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
     "SLQResult",

@@ -63,23 +63,59 @@ class BlockDecomposition(NamedTuple):
     steps_taken: jax.Array
 
 
-def _qr_pos(w):
-    """Reduced QR with a POSITIVE diagonal of R — makes the factorization
-    unique and the p = 1 case equal to the β > 0 normalization of the
-    single-vector recurrence."""
-    q, r = jnp.linalg.qr(w)
+def _r_pos(w):
+    """The R factor of the reduced QR with a POSITIVE diagonal — makes the
+    factorization unique and the p = 1 case equal to the β > 0
+    normalization of the single-vector recurrence. Only R is needed: the
+    next block is formed as ``W·R⁻¹`` (a triangular solve), NOT as QR's Q,
+    so that pass two can replay the identical instruction sequence from
+    the stored R (the block analogue of the single-vector
+    reciprocal-multiply convention, ``src/algorithms/mod.rs:312-316``)."""
+    r = jnp.linalg.qr(w, mode="r")
     sgn = jnp.sign(jnp.diagonal(r))
     sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
-    return q * sgn[None, :], r * sgn[:, None]
+    return r * sgn[:, None]
 
 
-def block_pass_one(matvec, b_block: jax.Array, k: int):
+def _right_tri_solve(w, r):
+    """``W·R⁻¹`` for upper-triangular R — the block normalization."""
+    from jax.scipy.linalg import solve_triangular
+
+    return solve_triangular(r.T, w.T, lower=True).T
+
+
+def _block_recurrence_body(block_mv, v_prev, v_curr, b_prev):
+    """One block orthogonalization: shared VERBATIM by pass one and pass
+    two so the replay's FP sequence is identical by construction (the
+    block analogue of ``core.make_pass_one_step`` backing both passes).
+
+    Returns ``(w, a_j)`` — the unnormalized next block and the diagonal
+    projection block (symmetrized, CGS-corrected)."""
+    w = block_mv(v_curr)
+    w = w - v_prev @ b_prev.T
+    a_j = v_curr.T @ w
+    a_j = 0.5 * (a_j + a_j.T)  # exact-symmetry of the Ritz block
+    w = w - v_curr @ a_j
+    # one CGS re-sweep against the two live blocks keeps local block
+    # orthogonality at working precision (the block analogue of the
+    # classical correction; cheap: four p×p GEMMs)
+    c_prev = v_prev.T @ w
+    c_curr = v_curr.T @ w
+    w = w - v_prev @ c_prev - v_curr @ c_curr
+    a_j = a_j + 0.5 * (c_curr + c_curr.T)
+    return w, a_j
+
+
+def block_pass_one(matvec, b_block: jax.Array, k: int, *,
+                   emit_basis: bool = True):
     """``k`` block recurrence steps as one ``lax.scan``.
 
     ``matvec`` maps (n,) → (n,) (vmapped internally over the block).
     Returns ``(BlockDecomposition, basis)`` with ``basis`` of shape
-    (k, n, p), block row j = V_{j+1}, zeros beyond ``steps_taken``.
-    A rank-deficient initial B (or zero B) yields ``steps_taken == 0``.
+    (k, n, p), block row j = V_{j+1}, zeros beyond ``steps_taken`` —
+    or ``basis=None`` with ``emit_basis=False`` (O(n·p) memory, pass one
+    of the two-pass variant). A rank-deficient initial B (or zero B)
+    yields ``steps_taken == 0``.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -109,32 +145,24 @@ def block_pass_one(matvec, b_block: jax.Array, k: int):
         scale = jnp.maximum(jnp.max(diag), ref_scale)
         return jnp.min(diag) > tol * scale
 
-    v0, r0 = _qr_pos(b_block)
+    r0 = _r_pos(b_block)
     ok0 = rank_ok(r0, jnp.zeros((), rdt))
-    v0 = jnp.where(ok0, v0, jnp.zeros_like(v0))
+    v0 = jnp.where(ok0, _right_tri_solve(b_block, r0), 0.0)
 
     def step(carry, _):
         v_prev, v_curr, b_prev, done, steps = carry
         executed = jnp.logical_not(done)
-        w = block_mv(v_curr)
-        w = w - v_prev @ b_prev.T
-        a_j = v_curr.T @ w
-        a_j = 0.5 * (a_j + a_j.T)  # exact-symmetry of the Ritz block
-        w = w - v_curr @ a_j
-        # one CGS re-sweep against the two live blocks keeps local block
-        # orthogonality at working precision (the block analogue of the
-        # classical-correction; cheap: two p×p GEMMs)
-        c_prev = v_prev.T @ w
-        c_curr = v_curr.T @ w
-        w = w - v_prev @ c_prev - v_curr @ c_curr
-        a_j = a_j + 0.5 * (c_curr + c_curr.T)
-        v_next, b_j = _qr_pos(w)
+        w, a_j = _block_recurrence_body(block_mv, v_prev, v_curr, b_prev)
+        b_j = _r_pos(w)
         full_rank = rank_ok(b_j, jnp.max(jnp.abs(jnp.diagonal(a_j))))
         advance = jnp.logical_and(executed, full_rank)
+        safe_b = jnp.where(full_rank, b_j, jnp.eye(p, dtype=rdt))
+        v_next = _right_tri_solve(w, safe_b)
 
         a_out = jnp.where(executed, a_j, jnp.zeros_like(a_j))
         b_out = jnp.where(advance, b_j, jnp.zeros_like(b_j))
-        v_out = jnp.where(executed, v_curr, jnp.zeros_like(v_curr))
+        v_out = (jnp.where(executed, v_curr, jnp.zeros_like(v_curr))
+                 if emit_basis else jnp.zeros((0,), rdt))
 
         sel = advance
         carry = (
@@ -153,7 +181,73 @@ def block_pass_one(matvec, b_block: jax.Array, k: int):
     decomp = BlockDecomposition(
         a_blocks=a_blocks, b_blocks=b_blocks,
         r0=jnp.where(ok0, r0, jnp.zeros_like(r0)), steps_taken=carry[4])
-    return decomp, basis
+    return decomp, (basis if emit_basis else None)
+
+
+def block_pass_two(matvec, b_block: jax.Array, decomp: BlockDecomposition,
+                   y_blocks: jax.Array, *, emit_basis: bool = False):
+    """Regenerate the block basis from the stored decomposition and
+    accumulate ``X = Σ_j V_{j+1}·Y_j`` — O(n·p) memory, no stored basis.
+
+    The two-pass contract, block edition: pass one normalizes with
+    ``W·R⁻¹`` (triangular solve against the SAME R stored in
+    ``b_blocks``), so this replay executes the same operation sequence.
+    Honest caveat vs the single-vector drift == 0 guarantee: the two
+    passes are separately compiled programs, and XLA's scheduling of the
+    (n, p)×(p, p) GEMMs is not bitwise-reproducible across programs (the
+    single-vector path's scalar reductions are) — measured drift is
+    ≤ ~1 ulp/step, pinned at ≤ 1e-12 absolute over 25 f64 steps
+    (``tests/test_block.py::test_pass_two_replay_matches_pass_one``).
+    Like the single-vector pass two
+    (``src/algorithms/lanczos_two_pass.rs``), the QR factorizations are
+    NOT recomputed; the p×p projections are (they feed the replayed
+    orthogonalization).
+
+    ``y_blocks`` has shape (k, p, q) — q solution columns per basis block
+    (q = p for f(A)·B). Returns ``x`` of shape (n, q), plus the
+    regenerated basis when ``emit_basis=True`` (testing hook).
+    """
+    n, p = b_block.shape
+    rdt = b_block.dtype
+    steps = decomp.steps_taken
+
+    def block_mv(v):
+        return jax.vmap(matvec, in_axes=1, out_axes=1)(v)
+
+    r0 = decomp.r0
+    ok0 = steps > 0
+    safe_r0 = jnp.where(ok0, r0, jnp.eye(p, dtype=rdt))
+    v0 = jnp.where(ok0, _right_tri_solve(b_block, safe_r0), 0.0)
+
+    def step(carry, inputs):
+        v_prev, v_curr, b_prev, x_acc = carry
+        j, b_j, y_j = inputs
+        executed = j < steps
+        x_acc = x_acc + jnp.where(
+            executed, v_curr @ y_j.astype(rdt), jnp.zeros_like(x_acc))
+        emit = (jnp.where(executed, v_curr, jnp.zeros_like(v_curr))
+                if emit_basis else jnp.zeros((0,), rdt))
+        w, _ = _block_recurrence_body(block_mv, v_prev, v_curr, b_prev)
+        advance = j + 1 < steps  # the final block needs no successor
+        safe_b = jnp.where(advance, b_j, jnp.eye(p, dtype=rdt))
+        v_next = _right_tri_solve(w, safe_b)
+        carry = (
+            jnp.where(advance, v_curr, v_prev),
+            jnp.where(advance, v_next, v_curr),
+            jnp.where(advance, b_j, b_prev),
+            x_acc,
+        )
+        return carry, emit
+
+    q = y_blocks.shape[-1]
+    carry0 = (jnp.zeros_like(v0), v0, jnp.zeros((p, p), rdt),
+              jnp.zeros((n, q), rdt))
+    k = decomp.a_blocks.shape[0]
+    (_, _, _, x), emitted = jax.lax.scan(
+        step, carry0, (jnp.arange(k), decomp.b_blocks, y_blocks))
+    if emit_basis:
+        return x, emitted
+    return x
 
 
 def _assemble_t(decomp: BlockDecomposition) -> np.ndarray:
@@ -173,7 +267,8 @@ def _assemble_t(decomp: BlockDecomposition) -> np.ndarray:
 
 
 def solve_fAb_block(
-    operator: LinearOperator, b_block, k: int, f: FSpec = "exp"
+    operator: LinearOperator, b_block, k: int, f: FSpec = "exp",
+    method: str = "one_pass",
 ) -> jax.Array:
     """``f(A)·B`` for B of shape (n, p) from ONE block Krylov space:
     x = V_k · f(T_k) · E₁ · R₀ with E₁ the first block column.
@@ -184,13 +279,23 @@ def solve_fAb_block(
     dense eigendecomposition of the (s·p, s·p) block tridiagonal (s·p is
     small), the same division of labor as the host solvers. Zero or
     rank-deficient B returns zeros (the library's graceful convention).
+
+    ``method``: ``"one_pass"`` stores the (k, n, p) basis and contracts
+    once; ``"two_pass"`` stores only the (k, p, p) coefficient blocks and
+    replays the basis (O(n·p) memory, 2k block matvecs) — the library's
+    namesake memory/time trade, block edition, with the same
+    bit-identical-replay guarantee.
     """
     from two_pass_lanczos_tpu.spectrum import _f_of_theta  # shared dispatch
 
+    if method not in ("one_pass", "two_pass"):
+        raise ValueError(f"unknown method {method!r}")
     if not callable(f):
         _f_of_theta(np.ones(1), f)  # reject unknown strings before any work
     b_block = jnp.asarray(b_block)
-    decomp, basis = block_pass_one(operator.matvec, b_block, k)
+    emit = method == "one_pass"
+    decomp, basis = block_pass_one(operator.matvec, b_block, k,
+                                   emit_basis=emit)
     s = int(decomp.steps_taken)
     if s == 0:
         return jnp.zeros_like(b_block)
@@ -201,6 +306,9 @@ def solve_fAb_block(
     e1 = np.zeros((s * p, p))
     e1[:p, :p] = np.eye(p)
     y = (q * flam) @ (q.T @ (e1 @ np.asarray(decomp.r0, np.float64)))
-    y_dev = jnp.asarray(y.reshape(s, p, p), b_block.dtype)
-    basis_valid = basis[:s]
-    return jnp.einsum("knp,kpq->nq", basis_valid, y_dev)
+    y_pad = np.zeros((k, p, p))
+    y_pad[:s] = y.reshape(s, p, p)
+    y_dev = jnp.asarray(y_pad, b_block.dtype)
+    if method == "two_pass":
+        return block_pass_two(operator.matvec, b_block, decomp, y_dev)
+    return jnp.einsum("knp,kpq->nq", basis[:s], y_dev[:s])
