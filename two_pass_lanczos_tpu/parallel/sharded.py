@@ -608,6 +608,148 @@ class ShardedSparseOperator:
         return slq_stats(batched_quadratic_form(decomp, f))
 
     # ------------------------------------------------------------------
+    def solve_fAb_block(self, b_block, *, k: int, f="exp", raw: bool = False):
+        """Distributed block Lanczos f(A)·B over the row partition.
+
+        The single-device :func:`algorithms.block.block_pass_one` uses
+        Householder QR for the block normalization, which has no
+        distributed form; here the tall-skinny factorization is
+        **CholeskyQR2** (Yamamoto et al. 2015) — two rounds of
+        ``R = chol(psum(WᵀW))ᵀ; V = W·R⁻¹`` — whose only collectives are
+        p×p Gram psums, the block-width analogue of the scalar β psum.
+        Two rounds restore orthonormality to working precision for any
+        block the rank test admits; the sign convention (positive chol
+        diagonal) matches the single-device positive-diagonal R, so the
+        two implementations agree to rounding (pinned at {1,2,8}
+        devices). Rank breakdown (NaN cholesky or a relative diagonal
+        collapse) truncates gracefully via ``steps_taken``, like every
+        other path. The projected f(T) solve is the shared host-side
+        block solver. Multi-host: ``raw=True`` (see :meth:`solve_fAb`).
+        """
+        from two_pass_lanczos_tpu.algorithms.block import (
+            _assemble_t,
+            BlockDecomposition,
+        )
+        from two_pass_lanczos_tpu.spectrum import _f_of_theta
+
+        if not callable(f):
+            _f_of_theta(np.ones(1), f)
+        b_block = np.asarray(b_block)
+        if b_block.ndim != 2:
+            raise ValueError(f"b_block must be (n, p), got {b_block.shape}")
+        n, p = b_block.shape
+        if n != self.part.n_orig:
+            raise ValueError(
+                f"b_block has {n} rows, operator is {self.part.n_orig}")
+        rdt = np.dtype(self.dtype)
+        bp = np.zeros((self.part.n_pad, p), rdt)
+        bp[:n] = b_block
+        bp = bp[self.part.perm]
+        b_sharded = jax.make_array_from_callback(
+            bp.shape, NamedSharding(self.mesh, P(self.axis, None)),
+            lambda idx: bp[idx])
+
+        ck = ("block", k, p)
+        if ck not in self._solve_cache:
+            axis, rows_per = self.axis, self.part.rows_per
+            from two_pass_lanczos_tpu.algorithms.core import (
+                breakdown_tolerance,
+            )
+
+            tol = breakdown_tolerance(rdt)
+
+            def run(blocks, b_loc):
+                blocks = tuple(a[0] for a in blocks)
+                matvec = lambda x: _local_matvec(blocks, x, axis, rows_per)
+                block_mv = jax.vmap(matvec, in_axes=1, out_axes=1)
+                rs = lambda s: lax.psum(s, axis)
+
+                def chol_qr2(w):
+                    """Distributed tall-skinny QR: (V, R, ok)."""
+                    def one_round(v_in):
+                        g = rs(v_in.T @ v_in)
+                        c = jnp.linalg.cholesky(g)  # lower; R = cᵀ
+                        ok_r = jnp.logical_not(jnp.any(jnp.isnan(c)))
+                        safe_c = jnp.where(ok_r, c, jnp.eye(p, dtype=v_in.dtype))
+                        # V = W·R⁻¹  ⇔  solve cᵀ from the right
+                        from jax.scipy.linalg import solve_triangular
+
+                        v_out = solve_triangular(
+                            safe_c, v_in.T, lower=True).T
+                        return v_out, safe_c.T, ok_r
+
+                    v1, r1, ok1 = one_round(w)
+                    v2, r2, ok2 = one_round(v1)
+                    r = r2 @ r1
+                    diag = jnp.abs(jnp.diagonal(r))
+                    full = jnp.min(diag) > tol * jnp.max(diag)
+                    return v2, r, jnp.logical_and(
+                        jnp.logical_and(ok1, ok2), full)
+
+                v0, r0, ok0 = chol_qr2(b_loc)
+                v0 = jnp.where(ok0, v0, 0.0)
+
+                def step(carry, _):
+                    v_prev, v_curr, b_prev, done, steps = carry
+                    executed = jnp.logical_not(done)
+                    w = block_mv(v_curr)
+                    w = w - v_prev @ b_prev.T
+                    a_j = rs(v_curr.T @ w)
+                    a_j = 0.5 * (a_j + a_j.T)
+                    w = w - v_curr @ a_j
+                    c_prev = rs(v_prev.T @ w)
+                    c_curr = rs(v_curr.T @ w)
+                    w = w - v_prev @ c_prev - v_curr @ c_curr
+                    a_j = a_j + 0.5 * (c_curr + c_curr.T)
+                    v_next, b_j, ok = chol_qr2(w)
+                    advance = jnp.logical_and(executed, ok)
+                    a_out = jnp.where(executed, a_j, jnp.zeros_like(a_j))
+                    b_out = jnp.where(advance, b_j, jnp.zeros_like(b_j))
+                    v_out = jnp.where(executed, v_curr,
+                                      jnp.zeros_like(v_curr))
+                    carry = (
+                        jnp.where(advance, v_curr, v_prev),
+                        jnp.where(advance, v_next, v_curr),
+                        jnp.where(advance, b_j, b_prev),
+                        jnp.logical_or(done, jnp.logical_not(ok)),
+                        steps + executed.astype(jnp.int32),
+                    )
+                    return carry, (a_out, b_out, v_out)
+
+                carry0 = (jnp.zeros_like(v0), v0,
+                          jnp.zeros((p, p), b_loc.dtype),
+                          jnp.logical_not(ok0), jnp.zeros((), jnp.int32))
+                carry, (a_b, b_b, basis) = lax.scan(
+                    step, carry0, None, length=k)
+                r0 = jnp.where(ok0, r0, jnp.zeros_like(r0))
+                return a_b, b_b, r0, carry[4], basis
+
+            self._solve_cache[ck] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(axis, None)] * 6), P(axis, None)),
+                out_specs=(P(), P(), P(), P(), P(None, axis, None)),
+                check_vma=False))
+        a_b, b_b, r0, steps, basis = self._solve_cache[ck](
+            self.local_blocks, b_sharded)
+        decomp = BlockDecomposition(a_blocks=a_b, b_blocks=b_b, r0=r0,
+                                    steps_taken=steps)
+        s = int(steps)
+        if s == 0:  # zero / rank-deficient B: graceful zeros
+            return jnp.zeros_like(b_sharded) if raw else np.zeros((n, p), rdt)
+        t = _assemble_t(decomp)
+        lam, q = np.linalg.eigh(t)
+        flam = _f_of_theta(lam, f)
+        e1 = np.zeros((s * p, p))
+        e1[:p, :p] = np.eye(p)
+        y = (q * flam) @ (q.T @ (e1 @ np.asarray(r0, np.float64)))
+        y_pad = np.zeros((k, p, p))
+        y_pad[:s] = y.reshape(s, p, p)
+        x = jnp.einsum("knp,kpq->nq", basis, jnp.asarray(y_pad, rdt))
+        if raw:
+            return x
+        return self._restore_x(np.asarray(x).T).T
+
+    # ------------------------------------------------------------------
     def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
                       raw: bool = False):
         """Distributed Chebyshev-expansion f(A)·b: ``degree`` local SpMVs
