@@ -240,6 +240,15 @@ class TestShardedBlock:
         x = sop.solve_fAb_block(B, k=10, f="inv")
         np.testing.assert_allclose(np.asarray(x), B / d[:, None],
                                    rtol=1e-9)
+        # Invariant-subspace breakdown must TRUNCATE (three distinct
+        # eigenvalues, width-2 block => the space is exhausted at s=3);
+        # the rank test needs the external max|diag(a_j)| scale to see it
+        # (an eps*||A|| residual block's own diagonal ratio is O(1)).
+        decomp, _ = block_pass_one(
+            tpl.DiagonalOperator(jnp.asarray(d, jnp.float64)).matvec,
+            jnp.asarray(B), 10)
+        assert int(decomp.steps_taken) == 3
+        assert sop._last_block_steps == int(decomp.steps_taken)
 
     def test_rank_deficient_b_zeros(self):
         d = np.linspace(1.0, 2.0, 64)
@@ -257,3 +266,10 @@ class TestShardedBlock:
             sop.solve_fAb_block(np.ones((8, 2)), k=4)
         with pytest.raises(ValueError, match="unknown function"):
             sop.solve_fAb_block(np.ones((16, 2)), k=4, f="nope")
+        # parity with the single-device block_pass_one validation
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            sop.solve_fAb_block(np.ones((16, 2)), k=0)
+        with pytest.raises(ValueError, match="block width"):
+            sop.solve_fAb_block(np.ones((16, 0)), k=4)
+        with pytest.raises(TypeError, match="real symmetric"):
+            sop.solve_fAb_block(np.ones((16, 2), np.complex128), k=4)

@@ -39,7 +39,8 @@ import numpy as np
 from two_pass_lanczos_tpu.algorithms.core import breakdown_tolerance
 from two_pass_lanczos_tpu.operators import LinearOperator
 
-__all__ = ["BlockDecomposition", "block_pass_one", "solve_fAb_block"]
+__all__ = ["BlockDecomposition", "block_pass_one", "block_pass_two",
+           "solve_fAb_block"]
 
 FSpec = Union[str, Callable[[np.ndarray], np.ndarray]]
 
@@ -283,8 +284,10 @@ def solve_fAb_block(
     ``method``: ``"one_pass"`` stores the (k, n, p) basis and contracts
     once; ``"two_pass"`` stores only the (k, p, p) coefficient blocks and
     replays the basis (O(n·p) memory, 2k block matvecs) — the library's
-    namesake memory/time trade, block edition, with the same
-    bit-identical-replay guarantee.
+    namesake memory/time trade, block edition. The replay matches pass
+    one to working precision (~1 ulp/step — see :func:`block_pass_two`;
+    the single-vector path's bitwise drift == 0 guarantee does not
+    extend to separately compiled GEMM programs).
     """
     from two_pass_lanczos_tpu.spectrum import _f_of_theta  # shared dispatch
 

@@ -634,6 +634,8 @@ class ShardedSparseOperator:
 
         if not callable(f):
             _f_of_theta(np.ones(1), f)
+        if k < 1:
+            raise ValueError("k must be >= 1")
         b_block = np.asarray(b_block)
         if b_block.ndim != 2:
             raise ValueError(f"b_block must be (n, p), got {b_block.shape}")
@@ -641,7 +643,15 @@ class ShardedSparseOperator:
         if n != self.part.n_orig:
             raise ValueError(
                 f"b_block has {n} rows, operator is {self.part.n_orig}")
+        if p < 1 or p > n:
+            raise ValueError(f"block width p={p} must be in [1, n={n}]")
         rdt = np.dtype(self.dtype)
+        if (np.issubdtype(rdt, np.complexfloating)
+                or np.iscomplexobj(b_block)):
+            raise TypeError(
+                "solve_fAb_block supports real symmetric operators only "
+                "(the block projections use plain transposes); the "
+                "single-vector paths are complex-Hermitian-generic")
         bp = np.zeros((self.part.n_pad, p), rdt)
         bp[:n] = b_block
         bp = bp[self.part.perm]
@@ -664,8 +674,16 @@ class ShardedSparseOperator:
                 block_mv = jax.vmap(matvec, in_axes=1, out_axes=1)
                 rs = lambda s: lax.psum(s, axis)
 
-                def chol_qr2(w):
-                    """Distributed tall-skinny QR: (V, R, ok)."""
+                def chol_qr2(w, ref_scale):
+                    """Distributed tall-skinny QR: (V, R, ok).
+
+                    ``ref_scale`` is the external scale for the rank test
+                    (the single-device ``rank_ok`` contract,
+                    ``algorithms/block.py``): an invariant-subspace
+                    residual W ~ ε‖A‖ is pure rounding noise whose OWN
+                    diagonal ratio is O(1) — only comparison against the
+                    recurrence scale max|diag(a_j)| detects it.
+                    """
                     def one_round(v_in):
                         g = rs(v_in.T @ v_in)
                         c = jnp.linalg.cholesky(g)  # lower; R = cᵀ
@@ -682,11 +700,13 @@ class ShardedSparseOperator:
                     v2, r2, ok2 = one_round(v1)
                     r = r2 @ r1
                     diag = jnp.abs(jnp.diagonal(r))
-                    full = jnp.min(diag) > tol * jnp.max(diag)
+                    scale = jnp.maximum(jnp.max(diag), ref_scale)
+                    full = jnp.min(diag) > tol * scale
                     return v2, r, jnp.logical_and(
                         jnp.logical_and(ok1, ok2), full)
 
-                v0, r0, ok0 = chol_qr2(b_loc)
+                v0, r0, ok0 = chol_qr2(
+                    b_loc, jnp.zeros((), b_loc.dtype))
                 v0 = jnp.where(ok0, v0, 0.0)
 
                 def step(carry, _):
@@ -701,7 +721,8 @@ class ShardedSparseOperator:
                     c_curr = rs(v_curr.T @ w)
                     w = w - v_prev @ c_prev - v_curr @ c_curr
                     a_j = a_j + 0.5 * (c_curr + c_curr.T)
-                    v_next, b_j, ok = chol_qr2(w)
+                    v_next, b_j, ok = chol_qr2(
+                        w, jnp.max(jnp.abs(jnp.diagonal(a_j))))
                     advance = jnp.logical_and(executed, ok)
                     a_out = jnp.where(executed, a_j, jnp.zeros_like(a_j))
                     b_out = jnp.where(advance, b_j, jnp.zeros_like(b_j))
@@ -734,6 +755,7 @@ class ShardedSparseOperator:
         decomp = BlockDecomposition(a_blocks=a_b, b_blocks=b_b, r0=r0,
                                     steps_taken=steps)
         s = int(steps)
+        self._last_block_steps = s  # diagnostic (cf. _last_p1_launches)
         if s == 0:  # zero / rank-deficient B: graceful zeros
             return jnp.zeros_like(b_sharded) if raw else np.zeros((n, p), rdt)
         t = _assemble_t(decomp)
