@@ -118,10 +118,51 @@ def test_validation():
         solve_fAb_block(op, jnp.ones((8, 2), jnp.float64), 4, "huh")
 
 
-def test_complex_block_rejected_with_guidance():
-    op = _diag_op(np.ones(8))
-    with pytest.raises(TypeError, match="real symmetric"):
-        block_pass_one(op.matvec, jnp.ones((8, 2), jnp.complex64), 3)
+def _hermitian_pair(n, d, seed):
+    """A = Q·diag(d)·Qᴴ with a random unitary Q — known-spectrum complex
+    Hermitian oracle (the ``test_correctness.py`` c64 pattern)."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    q, _ = np.linalg.qr(m)
+    a_np = (q * d) @ q.conj().T
+    a_np = (a_np + a_np.conj().T) / 2
+    return a_np, q
+
+
+def test_complex_hermitian_block():
+    """Self-adjoint genericity, block edition: f(A)·B on a complex
+    Hermitian A with an eigenvalue of multiplicity 2 — resolved within
+    the width-2 block space, validated against the dense oracle."""
+    n, p, k = 48, 2, 24
+    d = np.concatenate([[1.0, 1.0, 2.5], np.linspace(3.0, 9.0, n - 3)])
+    a_np, q = _hermitian_pair(n, d, 11)
+    rng = np.random.default_rng(12)
+    B = rng.standard_normal((n, p)) + 1j * rng.standard_normal((n, p))
+    op = tpl.DenseOperator(jnp.asarray(a_np))
+    truth = (q * (1.0 / d)) @ (q.conj().T @ B)
+    for method in ("one_pass", "two_pass"):
+        x = np.asarray(solve_fAb_block(op, jnp.asarray(B), k, "inv",
+                                       method=method))
+        rel = np.linalg.norm(x - truth) / np.linalg.norm(truth)
+        assert rel < 1e-9, (method, rel)
+
+
+def test_complex_block_breakdown_truncates():
+    """Invariant-subspace truncation holds over ℂ: three distinct
+    eigenvalues, width-2 complex block => steps_taken == 3."""
+    d = np.array([1.0, 1.0, 2.0, 2.0, 5.0, 5.0] * 8)
+    a_np, _ = _hermitian_pair(len(d), d, 13)
+    rng = np.random.default_rng(14)
+    B = rng.standard_normal((len(d), 2)) + 1j * rng.standard_normal(
+        (len(d), 2))
+    op = tpl.DenseOperator(jnp.asarray(a_np))
+    decomp, _ = block_pass_one(op.matvec, jnp.asarray(B), 10)
+    assert int(decomp.steps_taken) == 3
+    # the stored blocks are a valid Hermitian T: the solve matches truth
+    x = np.asarray(solve_fAb_block(op, jnp.asarray(B), 10, "inv"))
+    lam, q = np.linalg.eigh(a_np)
+    truth = (q * (1.0 / lam)) @ (q.conj().T @ B)
+    assert np.linalg.norm(x - truth) / np.linalg.norm(truth) < 1e-9
 
 
 def test_small_norm_f32_block_is_valid_input():
@@ -271,5 +312,26 @@ class TestShardedBlock:
             sop.solve_fAb_block(np.ones((16, 2)), k=0)
         with pytest.raises(ValueError, match="block width"):
             sop.solve_fAb_block(np.ones((16, 0)), k=4)
-        with pytest.raises(TypeError, match="real symmetric"):
+        with pytest.raises(TypeError, match="complex b_block with a real"):
             sop.solve_fAb_block(np.ones((16, 2), np.complex128), k=4)
+
+
+def test_complex_hermitian_sharded_block():
+    """Distributed block Lanczos over ℂ: CholeskyQR2 with Hermitian Gram
+    psums matches the dense oracle (2-device mesh, complex COO)."""
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedSparseOperator, make_mesh,
+    )
+
+    n, p, k = 48, 2, 24
+    d = np.concatenate([[1.0, 1.0, 2.5], np.linspace(3.0, 9.0, n - 3)])
+    a_np, q = _hermitian_pair(n, d, 31)
+    rows, cols = np.nonzero(np.ones((n, n), bool))
+    sop = ShardedSparseOperator(n, rows, cols, a_np[rows, cols],
+                                make_mesh(2))
+    rng = np.random.default_rng(32)
+    B = rng.standard_normal((n, p)) + 1j * rng.standard_normal((n, p))
+    x = sop.solve_fAb_block(B, k=k, f="inv")
+    truth = (q * (1.0 / d)) @ (q.conj().T @ B)
+    rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
+    assert rel < 1e-9, rel

@@ -179,7 +179,20 @@ def test_unconverged_reports_honestly():
     _check_pairs(res, lambda u: d * u)
 
 
-def test_complex_operator_rejected_with_guidance():
-    op = tpl.DiagonalOperator(jnp.ones(8, jnp.complex64))
-    with pytest.raises(TypeError, match="real symmetric"):
-        eigsh(op, nev=2)
+def test_complex_hermitian_eigsh():
+    """Self-adjoint genericity: extreme eigenpairs of a complex Hermitian
+    A = Q·diag(d)·Qᴴ (real spectrum, complex eigenvectors), rigorous
+    residuals cross-checked against real complex matvecs."""
+    n = 60
+    d = np.concatenate([np.linspace(1.0, 8.0, n - 2), [11.0, 12.0]])
+    rng = np.random.default_rng(77)
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    q, _ = np.linalg.qr(m)
+    a_np = (q * d) @ q.conj().T
+    a_np = (a_np + a_np.conj().T) / 2
+    op = tpl.DenseOperator(jnp.asarray(a_np))
+    res = eigsh(op, nev=2, which="LA", tol=1e-10, maxiter=200)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, [11.0, 12.0], rtol=1e-8)
+    assert np.iscomplexobj(res.eigenvectors)
+    _check_pairs(res, lambda u: a_np @ u)

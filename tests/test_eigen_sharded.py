@@ -90,3 +90,25 @@ def test_sharded_eigsh_validation():
         sop.eigsh(nev=2, which="XX")
     with pytest.raises(ValueError, match="nonzero"):
         sop.eigsh(nev=2, v0=np.zeros(64))
+
+
+def test_sharded_eigsh_complex_hermitian():
+    """Self-adjoint genericity on the mesh: complex Hermitian A in COO,
+    complex basis columns sharded, conj-projections psummed."""
+    n = 48
+    d = np.concatenate([np.linspace(1.0, 6.0, n - 2), [9.0, 10.0]])
+    rng = np.random.default_rng(55)
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    q, _ = np.linalg.qr(m)
+    a_np = (q * d) @ q.conj().T
+    a_np = (a_np + a_np.conj().T) / 2
+    rows, cols = np.nonzero(np.ones((n, n), bool))
+    sop = ShardedSparseOperator(n, rows, cols, a_np[rows, cols],
+                                make_mesh(2))
+    res = sop.eigsh(nev=2, which="LA", tol=1e-9, maxiter=200)
+    assert res.converged
+    np.testing.assert_allclose(res.eigenvalues, [9.0, 10.0], rtol=1e-8)
+    assert np.iscomplexobj(res.eigenvectors)
+    for theta, u in zip(res.eigenvalues, res.eigenvectors):
+        assert np.linalg.norm(u) == pytest.approx(1.0, abs=1e-9)
+        assert np.linalg.norm(a_np @ u - theta * u) < 1e-7

@@ -475,3 +475,57 @@ def test_solve_with_callback_early_stop(rng):
                                atol=1e-6 * np.abs(x_ref).max())
     with pytest.raises(ValueError, match="two_pass"):
         s.solve(b, k=8, f="inv", method="one_pass", callback=lambda *a: True)
+
+
+class TestFusedSLQ:
+    """tr f(A) with the probes' pass one in the fused kernel (one scanned
+    pallas launch) — held to the XLA SLQ path with identical probes and
+    to exact per-probe polynomial quadrature."""
+
+    def test_matches_xla_slq_same_probes(self, rng):
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=400, p=160)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        op = _xla_op(d, u, v, p)
+        key = jax.random.key(3)
+        k, m_probes = 20, 6
+        from two_pass_lanczos_tpu.slq import slq_trace
+
+        res_f = s.slq_trace("exp", k=k, num_probes=m_probes, key=key)
+        res_x = slq_trace(op, "exp", k=k, num_probes=m_probes, key=key)
+        # identical probes, two f32 implementations: per-sample agreement
+        # at small k (forward instability forbids large-k comparison —
+        # CLAUDE.md invariants)
+        np.testing.assert_allclose(np.asarray(res_f.samples),
+                                   np.asarray(res_x.samples), rtol=2e-3)
+
+    def test_polynomial_quadrature_exact_per_probe(self, rng):
+        """f(z) = z²: the k-point quadrature is exact for deg ≤ 2k−1, so
+        each probe's sample must equal ‖A·z‖² computed by real matvecs."""
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=300, p=120)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        key = jax.random.key(7)
+        poly = lambda t: t * t
+        res = s.slq_trace(poly, k=8, num_probes=4, key=key)
+        from two_pass_lanczos_tpu.slq import _draw_probes
+
+        probes = np.asarray(_draw_probes(key, 4, s.n, jnp.float32,
+                                         "rademacher"))
+        op = _xla_op(d, u, v, p)
+        for i in range(4):
+            az = np.asarray(op.matvec(jnp.asarray(probes[i])))
+            truth = float(az @ az)
+            assert np.abs(float(res.samples[i]) - truth) < 2e-2 * abs(truth)
+
+    def test_validation(self, rng):
+        d, u, v, p = _random_kkt(rng, m=100, p=50)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        import jax
+
+        with pytest.raises(ValueError, match="num_probes"):
+            s.slq_trace("inv", num_probes=0, key=jax.random.key(0))
+        with pytest.raises(ValueError, match="unknown"):
+            s.slq_trace("nope", key=jax.random.key(0))

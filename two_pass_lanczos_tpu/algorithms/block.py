@@ -3,12 +3,14 @@
 The reference iterates a single vector (``src/algorithms/mod.rs:167-212``);
 :func:`slq.lanczos_pass_one_batched` already batches INDEPENDENT
 recurrences. This module adds the genuinely coupled variant: one block
-Krylov space K_k(A, B) = span{B, AB, …, A^{k−1}B} with B ∈ R^{n×p},
+Krylov space K_k(A, B) = span{B, AB, …, A^{k−1}B} with B ∈ 𝔽^{n×p}
+(𝔽 = ℝ or ℂ; A self-adjoint, like the single-vector paths),
 
-    A·V_j = V_{j−1}·B_{j−1}ᵀ + V_j·A_j + V_{j+1}·B_j
+    A·V_j = V_{j−1}·B_{j−1}ᴴ + V_j·A_j + V_{j+1}·B_j
 
-(V_j orthonormal n×p blocks; A_j symmetric p×p; B_j upper-triangular from
-the QR of the residual block). What it buys over p independent runs:
+(V_j orthonormal n×p blocks; A_j Hermitian p×p; B_j upper-triangular
+with real positive diagonal from the QR of the residual block). What it
+buys over p independent runs:
 
 * **clustered/degenerate spectra**: a block of width p resolves
   eigenvalue multiplicities ≤ p that a single-vector Krylov space is
@@ -48,8 +50,8 @@ FSpec = Union[str, Callable[[np.ndarray], np.ndarray]]
 class BlockDecomposition(NamedTuple):
     """Block tridiagonal T_k and bookkeeping (fixed shapes, jit-safe).
 
-    * ``a_blocks`` — (k, p, p) diagonal blocks A_j (symmetric), zeros
-      beyond ``steps_taken``.
+    * ``a_blocks`` — (k, p, p) diagonal blocks A_j (Hermitian; real
+      symmetric in the real case), zeros beyond ``steps_taken``.
     * ``b_blocks`` — (k, p, p) sub-diagonal blocks B_j (upper-triangular;
       ``b_blocks[j]`` couples block j and j+1). ``b_blocks[steps-1]`` is
       the final residual R like the single-vector convention keeps β_k.
@@ -64,22 +66,38 @@ class BlockDecomposition(NamedTuple):
     steps_taken: jax.Array
 
 
+def _adj(m):
+    """Conjugate transpose (the adjoint). On real arrays ``conj`` is the
+    identity and XLA elides it — the real path's FP sequence is
+    unchanged."""
+    return jnp.conj(m).T
+
+
 def _r_pos(w):
-    """The R factor of the reduced QR with a POSITIVE diagonal — makes the
-    factorization unique and the p = 1 case equal to the β > 0
+    """The R factor of the reduced QR with a POSITIVE (real) diagonal —
+    makes the factorization unique and the p = 1 case equal to the β > 0
     normalization of the single-vector recurrence. Only R is needed: the
     next block is formed as ``W·R⁻¹`` (a triangular solve), NOT as QR's Q,
     so that pass two can replay the identical instruction sequence from
     the stored R (the block analogue of the single-vector
-    reciprocal-multiply convention, ``src/algorithms/mod.rs:312-316``)."""
+    reciprocal-multiply convention, ``src/algorithms/mod.rs:312-316``).
+
+    Complex case: each row is rotated by the conjugate phase of its
+    diagonal entry (the unit-modulus analogue of the sign flip), leaving
+    a real positive diagonal; on real inputs the phase IS the sign and
+    the multiply is the same exact ±1 scaling as before."""
     r = jnp.linalg.qr(w, mode="r")
-    sgn = jnp.sign(jnp.diagonal(r))
-    sgn = jnp.where(sgn == 0, jnp.ones_like(sgn), sgn)
-    return r * sgn[:, None]
+    d = jnp.diagonal(r)
+    mag = jnp.abs(d)
+    safe = jnp.where(mag == 0, jnp.ones_like(mag), mag)
+    phase = jnp.where(mag == 0, jnp.ones_like(d), d / safe.astype(d.dtype))
+    return jnp.conj(phase)[:, None] * r
 
 
 def _right_tri_solve(w, r):
-    """``W·R⁻¹`` for upper-triangular R — the block normalization."""
+    """``W·R⁻¹`` for upper-triangular R — the block normalization.
+    Uses the algebraic transpose (X·R = W ⇔ Rᵀ·Xᵀ = Wᵀ), valid over
+    ℝ and ℂ alike — no conjugation enters."""
     from jax.scipy.linalg import solve_triangular
 
     return solve_triangular(r.T, w.T, lower=True).T
@@ -90,20 +108,24 @@ def _block_recurrence_body(block_mv, v_prev, v_curr, b_prev):
     two so the replay's FP sequence is identical by construction (the
     block analogue of ``core.make_pass_one_step`` backing both passes).
 
+    Self-adjoint-generic: projections are adjoints (``VᴴW``), the
+    recurrence subtracts ``V_{j−1}·B_{j−1}ᴴ``, and the Ritz block is
+    Hermitian-symmetrized — on real inputs every ``conj`` folds away.
+
     Returns ``(w, a_j)`` — the unnormalized next block and the diagonal
-    projection block (symmetrized, CGS-corrected)."""
+    projection block (Hermitian-symmetrized, CGS-corrected)."""
     w = block_mv(v_curr)
-    w = w - v_prev @ b_prev.T
-    a_j = v_curr.T @ w
-    a_j = 0.5 * (a_j + a_j.T)  # exact-symmetry of the Ritz block
+    w = w - v_prev @ _adj(b_prev)
+    a_j = _adj(v_curr) @ w
+    a_j = 0.5 * (a_j + _adj(a_j))  # exact Hermitian-symmetry of the Ritz block
     w = w - v_curr @ a_j
     # one CGS re-sweep against the two live blocks keeps local block
     # orthogonality at working precision (the block analogue of the
     # classical correction; cheap: four p×p GEMMs)
-    c_prev = v_prev.T @ w
-    c_curr = v_curr.T @ w
+    c_prev = _adj(v_prev) @ w
+    c_curr = _adj(v_curr) @ w
     w = w - v_prev @ c_prev - v_curr @ c_curr
-    a_j = a_j + 0.5 * (c_curr + c_curr.T)
+    a_j = a_j + 0.5 * (c_curr + _adj(c_curr))
     return w, a_j
 
 
@@ -126,11 +148,6 @@ def block_pass_one(matvec, b_block: jax.Array, k: int, *,
     if p < 1 or p > n:
         raise ValueError(f"block width p={p} must be in [1, n={n}]")
     rdt = b_block.dtype
-    if jnp.issubdtype(rdt, jnp.complexfloating):
-        raise TypeError(
-            "block_pass_one supports real symmetric operators only (the "
-            "block projections use plain transposes); the single-vector "
-            "paths are complex-Hermitian-generic")
     tol = breakdown_tolerance(rdt)
 
     def block_mv(v):  # (n, p) -> (n, p)
@@ -147,7 +164,10 @@ def block_pass_one(matvec, b_block: jax.Array, k: int, *,
         return jnp.min(diag) > tol * scale
 
     r0 = _r_pos(b_block)
-    ok0 = rank_ok(r0, jnp.zeros((), rdt))
+    # real dtype: the rank test compares |diag| magnitudes
+    from two_pass_lanczos_tpu.algorithms.core import _real_dtype
+
+    ok0 = rank_ok(r0, jnp.zeros((), _real_dtype(rdt)))
     v0 = jnp.where(ok0, _right_tri_solve(b_block, r0), 0.0)
 
     def step(carry, _):
@@ -252,18 +272,21 @@ def block_pass_two(matvec, b_block: jax.Array, decomp: BlockDecomposition,
 
 
 def _assemble_t(decomp: BlockDecomposition) -> np.ndarray:
-    """Dense (s·p, s·p) block tridiagonal on the host (s = steps)."""
+    """Dense (s·p, s·p) Hermitian block tridiagonal on the host
+    (s = steps); f64 for real decompositions, c128 for complex."""
     s = int(decomp.steps_taken)
     p = decomp.r0.shape[0]
-    a = np.asarray(decomp.a_blocks, np.float64)
-    b = np.asarray(decomp.b_blocks, np.float64)
-    t = np.zeros((s * p, s * p))
+    cdt = (np.complex128 if np.iscomplexobj(np.asarray(decomp.a_blocks))
+           else np.float64)
+    a = np.asarray(decomp.a_blocks, cdt)
+    b = np.asarray(decomp.b_blocks, cdt)
+    t = np.zeros((s * p, s * p), cdt)
     for j in range(s):
         t[j * p:(j + 1) * p, j * p:(j + 1) * p] = a[j]
         if j + 1 < s:
             # A V_j = ... + V_{j+1} B_j  =>  T[j+1, j] block = B_j
             t[(j + 1) * p:(j + 2) * p, j * p:(j + 1) * p] = b[j]
-            t[j * p:(j + 1) * p, (j + 1) * p:(j + 2) * p] = b[j].T
+            t[j * p:(j + 1) * p, (j + 1) * p:(j + 2) * p] = b[j].conj().T
     return t
 
 
@@ -308,8 +331,8 @@ def solve_fAb_block(
     flam = _f_of_theta(lam, f)
     e1 = np.zeros((s * p, p))
     e1[:p, :p] = np.eye(p)
-    y = (q * flam) @ (q.T @ (e1 @ np.asarray(decomp.r0, np.float64)))
-    y_pad = np.zeros((k, p, p))
+    y = (q * flam) @ (q.conj().T @ (e1 @ np.asarray(decomp.r0, t.dtype)))
+    y_pad = np.zeros((k, p, p), t.dtype)
     y_pad[:s] = y.reshape(s, p, p)
     y_dev = jnp.asarray(y_pad, b_block.dtype)
     if method == "two_pass":

@@ -92,7 +92,9 @@ def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
     brk = jnp.asarray(breakdown_tolerance(rdt), rdt)
 
     def project(v, w, mask):
-        c = v @ w
+        # ⟨v_i, w⟩ = Σ conj(v_i)·w — adjoint projection; conj folds away
+        # on real dtypes, leaving the original real FP sequence.
+        c = jnp.conj(v) @ w
         if reduce_sum is not None:
             c = reduce_sum(c)
         return c * mask
@@ -108,7 +110,8 @@ def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
         w = w - v.T @ c2
         h_col = (c1 + c2)[:ncv]
         h = h.at[:, j].set(h_col)
-        h = h.at[j, :].set(h_col)  # keep H symmetric (j-th row = j-th col)
+        # keep H Hermitian (j-th row = conj of j-th col; = for real)
+        h = h.at[j, :].set(jnp.conj(h_col))
 
         beta = l2_norm(w, reduce_sum)
 
@@ -209,8 +212,9 @@ def eigsh(
     v0: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
 ) -> EigshResult:
-    """Compute ``nev`` extreme eigenpairs of a symmetric operator by
-    thick-restart Lanczos in O(ncv·n) memory.
+    """Compute ``nev`` extreme eigenpairs of a self-adjoint operator
+    (real symmetric or complex Hermitian — the spectrum is real either
+    way) by thick-restart Lanczos in O(ncv·n) memory.
 
     ``which`` ∈ {"LA", "SA", "LM", "SM"} (largest/smallest algebraic,
     largest/smallest magnitude; "SM" converges slowly without inversion —
@@ -229,12 +233,6 @@ def eigsh(
     # thickness: the standard Wu–Simon midpoint between nev and ncv
     ell = eigsh_thickness(nev, ncv)
     rdt = operator.dtype
-    if jnp.issubdtype(rdt, jnp.complexfloating):
-        raise TypeError(
-            "eigsh supports real symmetric operators only (the CGS "
-            "projections and H assembly are real); for a Hermitian "
-            "complex A, eigen-solve the real form or use the f(A)b "
-            "solvers, which are complex-generic")
     if key is None:
         key = jax.random.key(0)
     key, sub = jax.random.split(key)

@@ -1224,6 +1224,78 @@ class FusedKKTSolver:
         return LanczosDecomposition(
             alphas=alphas, betas=betas, steps_taken=steps[0], b_norm=bnorm[0])
 
+    def slq_trace(self, f="inv", *, k: int = 50, num_probes: int = 16,
+                  key, probe: str = "rademacher"):
+        """Estimate ``tr f(A)`` by stochastic Lanczos quadrature with every
+        probe's recurrence running in the fused VMEM-resident kernel — the
+        production-path counterpart of :func:`slq.slq_trace` (same
+        estimator contract; the reference's scope stops at f(A)·b,
+        ``src/solvers.rs``).
+
+        All ``num_probes`` pass-one recurrences execute as ONE jitted
+        ``lax.scan`` over the packed probes: one host→device probe
+        transfer (stacked — each transfer through the tunnel costs a full
+        RTT), one dispatch, and one batched device ``eigh`` for all
+        quadratures. Per-probe cost is the fused kernel's k·(matvec+dots)
+        instead of the XLA scan path's per-step overhead. Returns
+        :class:`slq.SLQResult`.
+        """
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            batched_quadratic_form,
+            slq_stats,
+        )
+        from two_pass_lanczos_tpu.spectrum import _f_of_theta
+
+        if num_probes < 1:
+            raise ValueError("num_probes must be >= 1")
+        if not callable(f):
+            _f_of_theta(np.ones(1), f)  # reject unknown strings up front
+        lay = self.layout
+        probes = np.asarray(_draw_probes(
+            key, num_probes, self.n, jnp.float32, probe))
+        flat = jnp.asarray(np.stack(
+            [np.concatenate(lay.pack(z), axis=0) for z in probes]))
+        ck = ("slq_p1", k)
+        if ck not in self._chunk_jits:
+            vm, sm = self._common_specs()
+            kern = functools.partial(
+                _pass_one_kernel, k=k, p_hi=lay.p_hi, c_chunks=lay.u.C,
+                tol=self.tol, ztol=self.ztol,
+                wg_u=lay.u.wg, wg_v=lay.v.wg, comp=self.compensated)
+            call = pl.pallas_call(
+                kern,
+                in_specs=[vm] * 9 + [sm, sm],
+                out_specs=[sm, sm, sm, sm],
+                out_shape=[
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((k,), jnp.float32),
+                    jax.ShapeDtypeStruct((1,), jnp.float32),
+                    jax.ShapeDtypeStruct((1,), jnp.int32),
+                ],
+                scratch_shapes=self._scratch(),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
+                interpret=self.interpret,
+            )
+            r = lay.u.R
+
+            def run(arrs, wins, flat_probes):
+                def body(_, bp):
+                    a, b, bno, st = call(
+                        *arrs, bp[:r], bp[r:2 * r], bp[2 * r:], *wins)
+                    return None, (a, b, bno[0], st[0])
+
+                _, outs = jax.lax.scan(body, None, flat_probes)
+                return outs
+
+            self._chunk_jits[ck] = jax.jit(run)
+        al, be, bno, stp = self._chunk_jits[ck](
+            self._arrs, self._wins, flat)
+        decomp = LanczosDecomposition(
+            alphas=al, betas=be, steps_taken=stp, b_norm=bno)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
     def _chunk_call(self, chunk: int):
         key = ("p1chunk", chunk)
         if key not in self._chunk_jits:

@@ -646,12 +646,12 @@ class ShardedSparseOperator:
         if p < 1 or p > n:
             raise ValueError(f"block width p={p} must be in [1, n={n}]")
         rdt = np.dtype(self.dtype)
-        if (np.issubdtype(rdt, np.complexfloating)
-                or np.iscomplexobj(b_block)):
+        if (np.iscomplexobj(b_block)
+                and not np.issubdtype(rdt, np.complexfloating)):
             raise TypeError(
-                "solve_fAb_block supports real symmetric operators only "
-                "(the block projections use plain transposes); the "
-                "single-vector paths are complex-Hermitian-generic")
+                "complex b_block with a real operator; build the "
+                "ShardedSparseOperator with complex vals for a "
+                "Hermitian A (the block path is self-adjoint-generic)")
         bp = np.zeros((self.part.n_pad, p), rdt)
         bp[:n] = b_block
         bp = bp[self.part.perm]
@@ -685,16 +685,17 @@ class ShardedSparseOperator:
                     recurrence scale max|diag(a_j)| detects it.
                     """
                     def one_round(v_in):
-                        g = rs(v_in.T @ v_in)
-                        c = jnp.linalg.cholesky(g)  # lower; R = cᵀ
+                        g = rs(jnp.conj(v_in).T @ v_in)  # Gram = VᴴV
+                        c = jnp.linalg.cholesky(g)  # lower; R = cᴴ
                         ok_r = jnp.logical_not(jnp.any(jnp.isnan(c)))
                         safe_c = jnp.where(ok_r, c, jnp.eye(p, dtype=v_in.dtype))
-                        # V = W·R⁻¹  ⇔  solve cᵀ from the right
+                        # V = W·R⁻¹ ⇔ Rᵀ·Vᵀ = Wᵀ with Rᵀ = (cᴴ)ᵀ = conj(c)
+                        # (conj folds away on real dtypes)
                         from jax.scipy.linalg import solve_triangular
 
                         v_out = solve_triangular(
-                            safe_c, v_in.T, lower=True).T
-                        return v_out, safe_c.T, ok_r
+                            jnp.conj(safe_c), v_in.T, lower=True).T
+                        return v_out, jnp.conj(safe_c).T, ok_r
 
                     v1, r1, ok1 = one_round(w)
                     v2, r2, ok2 = one_round(v1)
@@ -705,22 +706,28 @@ class ShardedSparseOperator:
                     return v2, r, jnp.logical_and(
                         jnp.logical_and(ok1, ok2), full)
 
+                from two_pass_lanczos_tpu.algorithms.core import (
+                    _real_dtype,
+                )
+
+                # real dtype: the rank test compares |diag| magnitudes
                 v0, r0, ok0 = chol_qr2(
-                    b_loc, jnp.zeros((), b_loc.dtype))
+                    b_loc, jnp.zeros((), _real_dtype(b_loc.dtype)))
                 v0 = jnp.where(ok0, v0, 0.0)
 
                 def step(carry, _):
                     v_prev, v_curr, b_prev, done, steps = carry
                     executed = jnp.logical_not(done)
+                    adj = lambda m: jnp.conj(m).T  # identity on real
                     w = block_mv(v_curr)
-                    w = w - v_prev @ b_prev.T
-                    a_j = rs(v_curr.T @ w)
-                    a_j = 0.5 * (a_j + a_j.T)
+                    w = w - v_prev @ adj(b_prev)
+                    a_j = rs(adj(v_curr) @ w)
+                    a_j = 0.5 * (a_j + adj(a_j))
                     w = w - v_curr @ a_j
-                    c_prev = rs(v_prev.T @ w)
-                    c_curr = rs(v_curr.T @ w)
+                    c_prev = rs(adj(v_prev) @ w)
+                    c_curr = rs(adj(v_curr) @ w)
                     w = w - v_prev @ c_prev - v_curr @ c_curr
-                    a_j = a_j + 0.5 * (c_curr + c_curr.T)
+                    a_j = a_j + 0.5 * (c_curr + adj(c_curr))
                     v_next, b_j, ok = chol_qr2(
                         w, jnp.max(jnp.abs(jnp.diagonal(a_j))))
                     advance = jnp.logical_and(executed, ok)
@@ -763,8 +770,8 @@ class ShardedSparseOperator:
         flam = _f_of_theta(lam, f)
         e1 = np.zeros((s * p, p))
         e1[:p, :p] = np.eye(p)
-        y = (q * flam) @ (q.T @ (e1 @ np.asarray(r0, np.float64)))
-        y_pad = np.zeros((k, p, p))
+        y = (q * flam) @ (q.conj().T @ (e1 @ np.asarray(r0, t.dtype)))
+        y_pad = np.zeros((k, p, p), t.dtype)
         y_pad[:s] = y.reshape(s, p, p)
         x = jnp.einsum("knp,kpq->nq", basis, jnp.asarray(y_pad, rdt))
         if raw:
