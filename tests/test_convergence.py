@@ -137,3 +137,51 @@ def test_convergence_callback_on_distributed_path():
     assert int(dec.steps()) == cb.stopped_at
     rel = np.linalg.norm(np.asarray(x) - b / d) / np.linalg.norm(b / d)
     assert rel < 1e-7
+
+
+class TestRadauErrorCallback:
+    """Certificate-grade stopping (Golub–Meurant Radau bound, SPD inv)."""
+
+    def test_bound_is_rigorous_and_monotone_enough(self):
+        n, k = 150, 60
+        d = np.linspace(1.0, 30.0, n)
+        rng = np.random.default_rng(23)
+        b = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+        a = np.asarray(dec.alphas_valid()); e = np.asarray(dec.betas_valid())
+        x_true = b / d
+        for s in (10, 20, 30):
+            bound = tpl.radau_error_bound(a[:s], e[:s - 1], lambda_min=1.0)
+            j = s - 1
+            x_j = np.asarray(tpl.solve_fAb(op, jnp.asarray(b), k=j, f="inv",
+                                           method="one_pass"))
+            err = np.sqrt(np.sum(d * (x_true - x_j) ** 2))
+            xnorm = np.sqrt(np.sum(d * x_j ** 2))
+            assert err / xnorm <= bound * (1 + 1e-8) + 1e-12, (s, err/xnorm, bound)
+
+    def test_callback_stops_with_certificate(self):
+        n = 150
+        d = np.linspace(1.0, 30.0, n)
+        rng = np.random.default_rng(29)
+        b = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+        tol = 1e-6  # above the certificate's f64 floor (~3e-8 relative)
+        cb = tpl.make_radau_error_callback(1.0, tol, stride=1)
+        x = tpl.lanczos_two_pass(op, jnp.asarray(b), 100,
+                                 tpl.make_inv_solver(),
+                                 callback=cb, callback_chunk=10)
+        assert cb.stopped_at is not None and cb.stopped_at < 100
+        assert cb.history[-1][1] <= tol
+        x_true = b / d
+        rel_a = (np.sqrt(np.sum(d * (np.asarray(x) - x_true) ** 2))
+                 / np.sqrt(np.sum(d * x_true ** 2)))
+        # the solve actually meets the certified tolerance class
+        assert rel_a < 10 * tol
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="lambda_min > 0"):
+            tpl.radau_error_bound([1.0], [], 0.0)
+        with pytest.raises(ValueError, match="stride"):
+            tpl.make_radau_error_callback(1.0, 1e-6, stride=0)
+        assert tpl.radau_error_bound([1.0], [], 1.0) == float("inf")

@@ -188,3 +188,43 @@ def test_accepts_chunked_path_decomposition():
     decomp, _ = tpl.lanczos_standard_chunked(op, b_dev, 60, chunk=16)
     assert quadratic_form(decomp, "inv") == pytest.approx(
         float(b @ (b / d)), rel=1e-10)
+
+
+class TestANormErrorHistory:
+    """Golub–Meurant A-norm error certificates for the f=inv solve:
+    both sides of the bracket must enclose the TRUE per-step error
+    computed against the analytic solution."""
+
+    def test_bracket_encloses_true_error_spd_diagonal(self):
+        n, k = 200, 40
+        d = np.linspace(0.7, 25.0, n)
+        rng = np.random.default_rng(17)
+        b = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+        js, lows, ups = tpl.a_norm_error_history(dec, lambda_min=0.7)
+        assert js[0] == 1 and js[-1] == int(dec.steps()) - 1
+        x_true = b / d
+        for j, lo, up in zip(js[::5], lows[::5], ups[::5]):
+            x_j = np.asarray(tpl.solve_fAb(
+                op, jnp.asarray(b), k=int(j), f="inv", method="one_pass"))
+            err = float(np.sqrt(np.sum(d * (x_true - x_j) ** 2)))
+            # rigorous in exact arithmetic; allow f64 rounding slack
+            assert lo <= err * (1 + 1e-8) + 1e-12, (j, lo, err)
+            assert err <= up * (1 + 1e-8) + 1e-12, (j, err, up)
+        # the upper bound must actually converge (CG rate for kappa = 36
+        # over ~39 steps is ~2e-6 relative)
+        assert ups[-1] < 1e-5 * ups[0]
+
+    def test_validation_and_edges(self):
+        op = tpl.DiagonalOperator(jnp.asarray([2.0, 3.0], jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray([1.0, 1.0]), 2)
+        with pytest.raises(ValueError, match="lambda_min > 0"):
+            tpl.a_norm_error_history(dec, 0.0)
+        with pytest.raises(ValueError, match="stride"):
+            tpl.a_norm_error_history(dec, 1.0, stride=0)
+        # single-step decomposition: empty history
+        dec1 = tpl.lanczos_pass_one(
+            op, jnp.asarray([1.0, 0.0], jnp.float64), 2)
+        js, lows, ups = tpl.a_norm_error_history(dec1, 1.0)
+        assert js.size == lows.size == ups.size <= 1

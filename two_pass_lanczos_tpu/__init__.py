@@ -75,9 +75,12 @@ from two_pass_lanczos_tpu.algorithms.df import (
 from two_pass_lanczos_tpu.convergence import (
     convergence_history,
     make_convergence_callback,
+    make_radau_error_callback,
+    radau_error_bound,
     update_norm,
 )
 from two_pass_lanczos_tpu.spectrum import (
+    a_norm_error_history,
     gauss_radau_bracket,
     quadratic_form,
     ritz_pairs,
@@ -147,12 +150,15 @@ __all__ = [
     "update_norm",
     "convergence_history",
     "make_convergence_callback",
+    "radau_error_bound",
+    "make_radau_error_callback",
     # spectral analysis from the decomposition (beyond the reference)
     "ritz_values",
     "ritz_pairs",
     "ritz_residual_bounds",
     "quadratic_form",
     "gauss_radau_bracket",
+    "a_norm_error_history",
     # thick-restart Lanczos eigensolver (beyond the reference)
     "eigsh",
     "EigshResult",

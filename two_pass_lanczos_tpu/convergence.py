@@ -41,6 +41,8 @@ __all__ = [
     "update_norm",
     "convergence_history",
     "make_convergence_callback",
+    "radau_error_bound",
+    "make_radau_error_callback",
 ]
 
 
@@ -127,6 +129,86 @@ def make_convergence_callback(
         d = update_norm(alphas, betas, f, lag=lag)
         history.append((int(steps), d))
         if d <= tol:
+            callback.stopped_at = int(steps)
+            return False
+        return True
+
+    callback.history = history
+    callback.stopped_at = None
+    return callback
+
+
+def radau_error_bound(alphas, betas, lambda_min: float) -> float:
+    """Rigorous RELATIVE A-norm error bound for the f = inv iterate, from
+    the live coefficient prefix (the callback view): with ``s = len
+    (alphas)`` steps visible, certifies the step-``s−1`` iterate —
+    the Radau extension needs the coupling β_{s−1}, which in the callback
+    convention (``betas`` has ``s−1`` entries) is the last visible β.
+
+    Returns ``sqrt(max(U_j − G_j, 0) / G_j)`` with ``j = s−1``: the
+    Golub–Meurant enclosure ``‖x − x_j‖_A ≤ ‖b‖·√(U_j − G_j)`` scaled by
+    ``‖x_j‖_A ≈ ‖b‖·√(G_j)`` (see :func:`spectrum.a_norm_error_history`
+    for the identity). ``inf`` until j ≥ 1; ``0.0`` on breakdown
+    (β = 0 ⇒ the subspace is invariant and the iterate exact). SPD A
+    only (``lambda_min`` > 0 required).
+    """
+    from two_pass_lanczos_tpu.spectrum import (
+        _radau_inv_e1_first,
+        _tridiag_inv_e1_first,
+    )
+
+    if lambda_min <= 0.0:
+        raise ValueError("radau_error_bound requires lambda_min > 0 (SPD A)")
+    alphas = np.asarray(alphas, np.float64)
+    betas = np.asarray(betas, np.float64)
+    j = alphas.shape[0] - 1
+    if j < 1:
+        return float("inf")
+    beta_j = betas[j - 1]
+    if beta_j == 0.0:
+        return 0.0
+    from two_pass_lanczos_tpu.spectrum import _cert_slack
+
+    g_j = _tridiag_inv_e1_first(alphas[:j], betas[: j - 1])
+    u_j = _radau_inv_e1_first(alphas[:j], betas[: j - 1], beta_j, lambda_min)
+    if g_j <= 0.0:
+        return float("inf")
+    # floor at the f64 resolution of the subtraction (see _cert_slack):
+    # the bound saturates near sqrt(4*eps) ~ 3e-8 relative — tolerances
+    # below that are not certifiable from f64 coefficients.
+    return float(np.sqrt(max(u_j - g_j, _cert_slack(u_j, g_j)) / g_j))
+
+
+def make_radau_error_callback(lambda_min: float, tol: float, *,
+                              stride: int = 1, min_steps: int = 2):
+    """An early-stop callback with a CERTIFICATE: stop once the rigorous
+    Gauss–Radau bound on the relative A-norm error of the f = inv solve
+    drops below ``tol`` (SPD A with λ_min ≥ ``lambda_min`` > 0).
+
+    Unlike :func:`make_convergence_callback` (a lagged-update *estimate*,
+    any f, any symmetric A), this stop is backed by the Golub–Meurant
+    enclosure — when it fires, ``‖x − x_j‖_A / ‖x_j‖_A ≤ tol`` holds up to
+    finite-precision slack. Same library-wide callback signature; works on
+    every callback-accepting path (host, fused chunked, both sharded
+    solvers). Evaluated bounds are recorded as ``callback.history``
+    (``(step_certified, bound)`` pairs) and the firing step as
+    ``callback.stopped_at``.
+
+    Resolution floor: the bound saturates near √(4ε_f64) ≈ 3e−8 relative
+    (see :func:`radau_error_bound`) — a ``tol`` below that never fires
+    (except on exact breakdown) and the run honestly continues to k.
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    history: List[Tuple[int, float]] = []
+
+    def callback(steps, v_view, coeffs):  # noqa: ARG001 — basis unused
+        if steps < max(min_steps, 2) or (steps - 2) % stride:
+            return True
+        alphas, betas = coeffs
+        bound = radau_error_bound(alphas, betas, lambda_min)
+        history.append((int(steps) - 1, bound))
+        if bound <= tol:
             callback.stopped_at = int(steps)
             return False
         return True
