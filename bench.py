@@ -42,7 +42,44 @@ def _arm_watchdog():
     return t
 
 
+#: Pre-flight tunnel wait: probe the backend in a KILLABLE subprocess
+#: (in-process jax.devices() hangs unkillably when the tunnel is down)
+#: and retry for up to this long before giving up. Covers the observed
+#: transient outages without stalling the driver forever.
+PREFLIGHT_WAIT_S = 1800
+PREFLIGHT_PROBE_TIMEOUT_S = 120
+PROBE_CMD = [sys.executable, "-c", "import jax; jax.devices()"]
+
+
+def _wait_for_backend() -> bool:
+    import subprocess
+
+    deadline = time.time() + PREFLIGHT_WAIT_S
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                PROBE_CMD,
+                timeout=PREFLIGHT_PROBE_TIMEOUT_S,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"bench.py: backend probe {attempt} failed (tunnel down?); "
+              "retrying in 60 s", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> int:
+    if not _wait_for_backend():
+        print(f"bench.py: backend unreachable after {PREFLIGHT_WAIT_S}s of "
+              "probing — TPU tunnel presumed down; aborting without a "
+              "metric.", file=sys.stderr, flush=True)
+        return 3
     watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
