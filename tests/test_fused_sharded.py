@@ -240,3 +240,41 @@ def test_mesh_of_one_is_the_streaming_single_chip_path(rng):
     xf, decf = sf.solve(b, k=15, f="inv")
     rel = np.linalg.norm(x1 - xf) / np.linalg.norm(xf)
     assert rel < 1e-4, rel
+
+
+class TestShardedFusedSLQ:
+    """tr f(A) on the arc-sharded production path: same probes through
+    three implementations (sharded fused, single-chip fused, XLA scan)
+    must agree per-sample at small k (f32 rounding tolerance)."""
+
+    @pytest.mark.parametrize("ndev", [1, 2])
+    def test_matches_fused_and_xla(self, rng, ndev):
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=600, p=200)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(ndev),
+                                   interpret=True)
+        key = jax.random.key(11)
+        k, m_probes = 16, 5
+        res_sh = sh.slq_trace("exp", k=k, num_probes=m_probes, key=key)
+        single = FusedKKTSolver(d, u, v, p, interpret=True)
+        res_f = single.slq_trace("exp", k=k, num_probes=m_probes, key=key)
+        np.testing.assert_allclose(np.asarray(res_sh.samples),
+                                   np.asarray(res_f.samples), rtol=2e-3)
+        from two_pass_lanczos_tpu.slq import slq_trace
+
+        op = tpl.make_kkt_operator(d, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+        res_x = slq_trace(op, "exp", k=k, num_probes=m_probes, key=key)
+        np.testing.assert_allclose(np.asarray(res_sh.samples),
+                                   np.asarray(res_x.samples), rtol=2e-3)
+
+    def test_validation(self, rng):
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=200, p=80)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(2), interpret=True)
+        with pytest.raises(ValueError, match="num_probes"):
+            sh.slq_trace("inv", num_probes=0, key=jax.random.key(0))
+        with pytest.raises(ValueError, match="unknown"):
+            sh.slq_trace("bogus", key=jax.random.key(0))

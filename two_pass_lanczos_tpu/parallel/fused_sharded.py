@@ -588,6 +588,82 @@ class ShardedFusedKKTSolver:
             return (xu, xn), decomp
         return self.unpack(xu, xn), decomp
 
+    def slq_trace(self, f="inv", *, k: int = 50, num_probes: int = 16,
+                  key, probe: str = "rademacher"):
+        """Estimate ``tr f(A)`` over the arc partition: every probe's
+        pass one runs under ONE ``shard_map`` as a scan of fused
+        streaming-kernel recurrences with the identical collective
+        structure as :meth:`solve` (one O(p) psum per matvec, two scalar
+        psums per step — :meth:`_shard_helpers` backs both, so the FP
+        sequences match the solver's). One dispatch for all probes, one
+        batched host-side quadrature; the distributed counterpart of
+        ``FusedKKTSolver.slq_trace`` / ``ShardedSparseOperator.slq_trace``.
+        Returns :class:`slq.SLQResult` (replicated, host-readable on every
+        process).
+        """
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            batched_quadratic_form,
+            slq_stats,
+        )
+        from two_pass_lanczos_tpu.spectrum import _f_of_theta
+
+        if num_probes < 1:
+            raise ValueError("num_probes must be >= 1")
+        if not callable(f):
+            _f_of_theta(np.ones(1), f)
+        probes = np.asarray(_draw_probes(
+            key, num_probes, self.n, jnp.float32, probe))
+        # pack all probes host-side (the pack() layout with a probe axis
+        # after the shard axis), ship as three transfers total
+        ndev = len(self.layouts)
+        xu = np.zeros((ndev, num_probes, self.R, LANE), np.float32)
+        xv = np.zeros_like(xu)
+        xn = np.zeros((num_probes, self.P2 * LANE), np.float32)
+        for d, (lay, ix) in enumerate(zip(self.layouts, self.arc_idx)):
+            vals = probes[:, ix].astype(np.float32)
+            xu[d].reshape(num_probes, -1)[:, lay.u.pos] = vals
+            xv[d].reshape(num_probes, -1)[:, lay.v.pos] = vals
+        xn[:, : self.p] = probes[:, self.m:]
+        xn = xn.reshape(num_probes, self.P2, LANE)
+        bu = self._put(xu, P(self.axis))
+        bv = self._put(xv, P(self.axis))
+        bn = self._put(xn, P())
+
+        ck = ("slq", k, num_probes)
+        if ck not in self._solve_cache:
+            axis = self.axis
+
+            def run(arrs_and_wins, bu_, bv_, bn_):
+                arrs = tuple(a[0] for a in arrs_and_wins[:8])
+                wins = tuple(w[0] for w in arrs_and_wins[8:])
+                bu_, bv_ = bu_[0], bv_[0]
+                matvec, dot = self._shard_helpers(arrs, wins)
+                p1_step = self._mk_p1_step(matvec, dot)
+
+                def probe_body(_, bp):
+                    v1, b_norm, zero_b = self._init_v1(dot, *bp)
+                    zeros = tuple(jnp.zeros_like(c) for c in v1)
+                    carry0 = (zeros, v1, jnp.float32(0.0), zero_b,
+                              jnp.zeros((), jnp.int32))
+                    carry, outs = lax.scan(p1_step, carry0, None, length=k)
+                    return None, (outs[0], outs[1], carry[4], b_norm)
+
+                _, stacked = lax.scan(probe_body, None, (bu_, bv_, bn_))
+                return stacked
+
+            self._solve_cache[ck] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(axis)] * 10), P(axis), P(axis), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            ))
+        al, be, st, bno = self._solve_cache[ck](
+            self._arrs + self._wins, bu, bv, bn)
+        decomp = LanczosDecomposition(
+            alphas=al, betas=be, steps_taken=st, b_norm=bno)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
     def _matvec_fn(self):
         # cached like the solver path: rebuilding jit(shard_map(...)) per
         # call would pay retrace+compile every time
