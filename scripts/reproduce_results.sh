@@ -74,6 +74,15 @@ $RUN two_pass_lanczos_tpu.experiments.reorth_study \
 python python/plot_reorth.py "$OUT/reorth_inv_ill-conditioned_f32.csv" \
   "$OUT/images/reorth_inv_ill-conditioned_f32.pdf"
 
+# beyond-reference: rigorous Gauss-Radau error certificate vs true error
+# on the SPD scenario (REPORT.md §13)
+$RUN two_pass_lanczos_tpu.experiments.certificate_study \
+  --size 2000 --k 200 --stride 2 \
+  --output "$OUT/error_certificate_inv_well-conditioned.csv"
+python python/plot_certificate.py \
+  "$OUT/error_certificate_inv_well-conditioned.csv" \
+  "$OUT/images/error_certificate_inv_well-conditioned.pdf"
+
 for arcs in 5000 50000 500000; do
   name=$(python -c "a=$arcs; print('5k' if a==5000 else '50k' if a==50000 else '500k')")
   $RUN two_pass_lanczos_tpu.experiments.tradeoff \

@@ -85,3 +85,25 @@ def test_tradeoff_isolated_per_variant_k(tmp_path):
         t_med, t_min, rss = float(r[2]), float(r[3]), int(r[4])
         assert 0 < t_min <= t_med
         assert rss > 0
+
+
+def test_certificate_study_cli_schema(tmp_path):
+    """The certificate study CLI emits the bracket schema and the bracket
+    encloses the true error on a tiny SPD run."""
+    import csv
+
+    from two_pass_lanczos_tpu.experiments.certificate_study import main
+
+    out = tmp_path / "cert.csv"
+    rc = main(["--size", "128", "--k", "24", "--stride", "3",
+               "--output", str(out)])
+    assert rc == 0
+    rows = list(csv.DictReader(open(out)))
+    assert set(rows[0].keys()) == {
+        "j", "lower_bound", "upper_bound", "true_error_a_norm",
+        "lagged_update_estimate"}
+    for r in rows:
+        lo, up = float(r["lower_bound"]), float(r["upper_bound"])
+        true = float(r["true_error_a_norm"])
+        assert lo <= true * (1 + 1e-8) + 1e-12
+        assert true <= up * (1 + 1e-8) + 1e-12

@@ -46,6 +46,10 @@ EXPECTED = {
         "relative_error_selective", "ortho_defect_plain",
         "ortho_defect_reorth", "ortho_defect_selective",
         "reorth_steps_selective"],
+    # beyond-reference artifact: experiments/certificate_study.py
+    "error_certificate_inv_well-conditioned.csv": [
+        "j", "lower_bound", "upper_bound", "true_error_a_norm",
+        "lagged_update_estimate"],
 }
 
 
@@ -177,3 +181,23 @@ def test_bench_json_contract():
                   '"value_min"', '"samples"'):
         assert field.replace('"', "") in src, field
     assert "json.dumps(record)" in src
+
+
+def test_certificate_artifact_story():
+    """The published certificate study carries its claim: the TRUE A-norm
+    error never leaves the rigorous Gauss-Radau bracket, at any recorded
+    step (the f64 slack is microscopic next to the bracket widths), and
+    the bracket actually converges by orders of magnitude."""
+    rows = list(csv.DictReader(open(
+        RESULTS / "error_certificate_inv_well-conditioned.csv")))
+    assert len(rows) >= 50
+    ups, lows = [], []
+    for r in rows:
+        lo = float(r["lower_bound"])
+        up = float(r["upper_bound"])
+        true = float(r["true_error_a_norm"])
+        assert lo <= true * (1 + 1e-8) + 1e-12, (r["j"], lo, true)
+        assert true <= up * (1 + 1e-8) + 1e-12, (r["j"], true, up)
+        lows.append(lo)
+        ups.append(up)
+    assert ups[-1] < 1e-5 * ups[0]
