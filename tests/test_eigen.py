@@ -195,4 +195,6 @@ def test_complex_hermitian_eigsh():
     assert res.converged
     np.testing.assert_allclose(res.eigenvalues, [11.0, 12.0], rtol=1e-8)
     assert np.iscomplexobj(res.eigenvectors)
+    # norms stay REAL for complex A (the documented residual contract)
+    assert not np.iscomplexobj(res.residual_norms)
     _check_pairs(res, lambda u: a_np @ u)

@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from two_pass_lanczos_tpu.algorithms.core import breakdown_tolerance, l2_norm
+from two_pass_lanczos_tpu.algorithms.core import (
+    _real_dtype,
+    breakdown_tolerance,
+    l2_norm,
+)
 from two_pass_lanczos_tpu.operators import LinearOperator
 
 __all__ = ["EigshResult", "eigsh"]
@@ -89,7 +93,10 @@ def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
     """
     ncv = h_proj.shape[0]
     rdt = v_basis.dtype
-    brk = jnp.asarray(breakdown_tolerance(rdt), rdt)
+    # norms/couplings/tolerances live in the REAL dtype (β is a norm);
+    # keeping them real also keeps residual_norms real for complex A
+    real = _real_dtype(rdt)
+    brk = jnp.asarray(breakdown_tolerance(rdt), real)
 
     def project(v, w, mask):
         # ⟨v_i, w⟩ = Σ conj(v_i)·w — adjoint projection; conj folds away
@@ -141,13 +148,13 @@ def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
         v = v.at[j + 1].set(v_next)
         # the sub-diagonal coupling: zero if we had to inject randomness
         # (the invariant block decouples exactly)
-        coupled = jnp.where(beta > brk, beta, jnp.zeros((), rdt))
+        coupled = jnp.where(beta > brk, beta, jnp.zeros((), real))
         h = jnp.where(j + 1 < ncv, h.at[j + 1, j].set(coupled)
                       .at[j, j + 1].set(coupled), h)
         return v, h, key_j, coupled
 
     v_basis, h_proj, _, beta_last = jax.lax.fori_loop(
-        start, ncv, body, (v_basis, h_proj, key, jnp.zeros((), rdt))
+        start, ncv, body, (v_basis, h_proj, key, jnp.zeros((), real))
     )
     # beta_last = the j = ncv-1 coupling: ‖remainder‖ of the final column,
     # i.e. A·V[:ncv] = V[:ncv]·H + β_last·v_ncv·e_lastᵀ

@@ -98,7 +98,8 @@ def main(argv=None) -> int:
         log.info("j=%3d  lower=%.3e  true=%.3e  upper=%.3e  lagged=%.3e",
                  j, lo, true_a, up, est_abs)
 
-    assert s == args.k or s < args.k  # breakdown handled by valid prefix
+    # the history must cover every step of the stride grid up to s-1
+    assert list(js) == list(range(1, s, args.stride)), (len(js), s)
     write_csv(
         args.output,
         ["j", "lower_bound", "upper_bound", "true_error_a_norm",

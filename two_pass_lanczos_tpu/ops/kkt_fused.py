@@ -1278,12 +1278,12 @@ class FusedKKTSolver:
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
             )
-            r = lay.u.R
-
             def run(arrs, wins, flat_probes):
                 def body(_, bp):
+                    # _split_flat: the one place the stacked-rep row
+                    # offsets live
                     a, b, bno, st = call(
-                        *arrs, bp[:r], bp[r:2 * r], bp[2 * r:], *wins)
+                        *arrs, *self._split_flat(bp), *wins)
                     return None, (a, b, bno[0], st[0])
 
                 _, outs = jax.lax.scan(body, None, flat_probes)

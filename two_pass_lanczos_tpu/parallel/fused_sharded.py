@@ -159,19 +159,28 @@ class ShardedFusedKKTSolver:
         self._solve_cache = {}
 
     # ------------------------------------------------------------------
-    def pack(self, b) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """(n,) host vector -> sharded (D,R,128) xu/xv + replicated xn."""
-        b = np.asarray(b)
-        xu = np.zeros((len(self.layouts), self.R, LANE), np.float32)
+    def _pack_batched_np(self, vecs: np.ndarray):
+        """(m, n) host vectors -> host-side packed planes with a batch
+        axis: xu/xv (D, m, R, LANE), xn (m, P2, LANE). The ONE place the
+        layout scatter lives — :meth:`pack` and the batched probe paths
+        (``slq_trace``) both go through it."""
+        nb = vecs.shape[0]
+        xu = np.zeros((len(self.layouts), nb, self.R, LANE), np.float32)
         xv = np.zeros_like(xu)
         for d, (lay, ix) in enumerate(zip(self.layouts, self.arc_idx)):
-            vals = b[ix].astype(np.float32)
-            xu[d].reshape(-1)[lay.u.pos] = vals
-            xv[d].reshape(-1)[lay.v.pos] = vals
-        xn = np.zeros((self.P2, LANE), np.float32)
-        xn.reshape(-1)[: self.p] = b[self.m:]
-        return (self._put(xu, P(self.axis)), self._put(xv, P(self.axis)),
-                self._put(xn, P()))
+            vals = vecs[:, ix].astype(np.float32)
+            xu[d].reshape(nb, -1)[:, lay.u.pos] = vals
+            xv[d].reshape(nb, -1)[:, lay.v.pos] = vals
+        xn = np.zeros((nb, self.P2 * LANE), np.float32)
+        xn[:, : self.p] = vecs[:, self.m:]
+        return xu, xv, xn.reshape(nb, self.P2, LANE)
+
+    def pack(self, b) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(n,) host vector -> sharded (D,R,128) xu/xv + replicated xn."""
+        xu, xv, xn = self._pack_batched_np(np.asarray(b)[None])
+        return (self._put(xu[:, 0], P(self.axis)),
+                self._put(xv[:, 0], P(self.axis)),
+                self._put(xn[0], P()))
 
     def unpack(self, xu, xn) -> np.ndarray:
         xu = np.asarray(xu)
@@ -614,18 +623,9 @@ class ShardedFusedKKTSolver:
             _f_of_theta(np.ones(1), f)
         probes = np.asarray(_draw_probes(
             key, num_probes, self.n, jnp.float32, probe))
-        # pack all probes host-side (the pack() layout with a probe axis
-        # after the shard axis), ship as three transfers total
-        ndev = len(self.layouts)
-        xu = np.zeros((ndev, num_probes, self.R, LANE), np.float32)
-        xv = np.zeros_like(xu)
-        xn = np.zeros((num_probes, self.P2 * LANE), np.float32)
-        for d, (lay, ix) in enumerate(zip(self.layouts, self.arc_idx)):
-            vals = probes[:, ix].astype(np.float32)
-            xu[d].reshape(num_probes, -1)[:, lay.u.pos] = vals
-            xv[d].reshape(num_probes, -1)[:, lay.v.pos] = vals
-        xn[:, : self.p] = probes[:, self.m:]
-        xn = xn.reshape(num_probes, self.P2, LANE)
+        # pack all probes host-side (shared layout scatter), ship as
+        # three transfers total
+        xu, xv, xn = self._pack_batched_np(probes)
         bu = self._put(xu, P(self.axis))
         bv = self._put(xv, P(self.axis))
         bn = self._put(xn, P())

@@ -190,22 +190,7 @@ def gauss_radau_bracket(
         return 0.0, 0.0
     if beta_s == 0.0:
         return lower, lower  # invariant subspace: Gauss is exact
-    # delta = (T_s - zeta I)^{-1} (beta_s^2 e_s): O(s) banded solve
-    from scipy.linalg import solve_banded
-
-    s = d.size
-    rhs = np.zeros(s)
-    rhs[-1] = beta_s**2
-    if s > 1:
-        ab = np.zeros((3, s))
-        ab[0, 1:] = e
-        ab[1, :] = d - lambda_min
-        ab[2, :-1] = e
-        delta_last = solve_banded((1, 1), ab, rhs)[-1]
-    else:
-        delta_last = rhs[0] / (d[0] - lambda_min)
-    d_hat = np.concatenate([d, [lambda_min + delta_last]])
-    e_hat = np.concatenate([e, [beta_s]])
+    d_hat, e_hat = _radau_extended(d, e, beta_s, lambda_min)
     theta, s_vecs = _eigh_tridiagonal(d_hat, e_hat)
     upper = _b_norm(decomp) ** 2 * float(
         np.dot(1.0 / theta, s_vecs[0, :] ** 2))
@@ -232,13 +217,15 @@ def _tridiag_inv_e1_first(d, e):
     return float(solve_banded((1, 1), ab, rhs)[0])
 
 
-def _radau_inv_e1_first(d, e, beta_j, zeta):
-    """``e₁ᵀT̂⁻¹e₁`` for the Gauss–Radau extension of T (node fixed at
-    ζ): append α̂ = ζ + δ_s with δ = (T − ζI)⁻¹·β²e_s (Golub–Meurant
-    boundary modification), coupled by β. Two O(s) banded solves."""
+def _radau_extended(d, e, beta, zeta):
+    """The Golub–Meurant Gauss–Radau extension of tridiagonal T (node
+    fixed at ζ): append α̂ = ζ + δ_s with δ = (T − ζI)⁻¹·β²e_s (the
+    boundary modification), coupled by β. Returns ``(d_hat, e_hat)`` —
+    the ONE implementation shared by :func:`gauss_radau_bracket` and the
+    error-certificate path. One O(s) banded solve."""
     s = d.size
     rhs = np.zeros(s)
-    rhs[-1] = beta_j**2
+    rhs[-1] = beta**2
     if s == 1:
         delta_last = rhs[0] / (d[0] - zeta)
     else:
@@ -249,8 +236,13 @@ def _radau_inv_e1_first(d, e, beta_j, zeta):
         ab[1, :] = d - zeta
         ab[2, :-1] = e
         delta_last = solve_banded((1, 1), ab, rhs)[-1]
-    d_hat = np.concatenate([d, [zeta + delta_last]])
-    e_hat = np.concatenate([e, [beta_j]])
+    return (np.concatenate([d, [zeta + delta_last]]),
+            np.concatenate([e, [beta]]))
+
+
+def _radau_inv_e1_first(d, e, beta_j, zeta):
+    """``e₁ᵀT̂⁻¹e₁`` over the Radau extension — two O(s) banded solves."""
+    d_hat, e_hat = _radau_extended(d, e, beta_j, zeta)
     return _tridiag_inv_e1_first(d_hat, e_hat)
 
 
