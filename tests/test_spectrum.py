@@ -228,3 +228,55 @@ class TestANormErrorHistory:
             op, jnp.asarray([1.0, 0.0], jnp.float64), 2)
         js, lows, ups = tpl.a_norm_error_history(dec1, 1.0)
         assert js.size == lows.size == ups.size <= 1
+
+
+class TestQuadratureBracket:
+    """Golub–Meurant enclosures of bᵀf(A)b from spectrum bounds."""
+
+    def test_exp_bracket_encloses_truth_indefinite(self):
+        n, k = 150, 25
+        d = np.linspace(-2.0, 3.0, n)  # exp: any symmetric A is fine
+        rng = np.random.default_rng(41)
+        b = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+        truth = float(b @ (np.exp(d) * b))
+        lo, up = tpl.quadrature_bracket(dec, (-2.5, 3.5), "exp")
+        assert lo <= truth * (1 + 1e-10) <= up * (1 + 1e-10), (lo, truth, up)
+        # tightens with k: the k=8 bracket strictly contains the k=25 one
+        dec8 = tpl.lanczos_pass_one(op, jnp.asarray(b), 8)
+        lo8, up8 = tpl.quadrature_bracket(dec8, (-2.5, 3.5), "exp")
+        assert lo8 <= lo and up <= up8
+        assert (up - lo) < 0.01 * (up8 - lo8)
+
+    def test_inv_bracket_delegates_to_gauss_radau(self):
+        n, k = 100, 20
+        d = np.linspace(0.5, 9.0, n)
+        rng = np.random.default_rng(43)
+        b = rng.standard_normal(n)
+        op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+        assert tpl.quadrature_bracket(dec, (0.5, 9.0), "inv") == \
+            tpl.gauss_radau_bracket(dec, 0.5)
+        truth = float(b @ (b / d))
+        lo, up = tpl.quadrature_bracket(dec, (0.5, 9.0), "inv")
+        assert lo <= truth * (1 + 1e-10) <= up * (1 + 1e-10)
+
+    def test_validation(self):
+        op = tpl.DiagonalOperator(jnp.asarray([1.0, 2.0], jnp.float64))
+        dec = tpl.lanczos_pass_one(op, jnp.asarray([1.0, 1.0]), 2)
+        with pytest.raises(ValueError, match="a < b"):
+            tpl.quadrature_bracket(dec, (3.0, 1.0), "exp")
+        with pytest.raises(ValueError, match="a > 0"):
+            tpl.quadrature_bracket(dec, (-1.0, 2.0), "inv")
+        with pytest.raises(ValueError, match="sign-definite"):
+            tpl.quadrature_bracket(dec, (0.5, 2.0), np.sin)
+
+    def test_breakdown_collapses_to_exact(self):
+        op = tpl.DiagonalOperator(jnp.asarray([2.0, 5.0], jnp.float64))
+        b = np.array([1.0, 1.0])
+        dec = tpl.lanczos_pass_one(op, jnp.asarray(b), 6)
+        lo, up = tpl.quadrature_bracket(dec, (1.0, 6.0), "exp")
+        truth = float(np.exp(2.0) + np.exp(5.0))
+        assert lo == pytest.approx(truth, rel=1e-12)
+        assert up == pytest.approx(truth, rel=1e-12)

@@ -83,6 +83,7 @@ from two_pass_lanczos_tpu.spectrum import (
     a_norm_error_history,
     gauss_radau_bracket,
     quadratic_form,
+    quadrature_bracket,
     ritz_pairs,
     ritz_residual_bounds,
     ritz_values,
@@ -158,6 +159,7 @@ __all__ = [
     "ritz_residual_bounds",
     "quadratic_form",
     "gauss_radau_bracket",
+    "quadrature_bracket",
     "a_norm_error_history",
     # thick-restart Lanczos eigensolver (beyond the reference)
     "eigsh",

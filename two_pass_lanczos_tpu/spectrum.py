@@ -50,6 +50,7 @@ __all__ = [
     "ritz_residual_bounds",
     "quadratic_form",
     "gauss_radau_bracket",
+    "quadrature_bracket",
     "a_norm_error_history",
 ]
 
@@ -307,3 +308,58 @@ def _cert_slack(u: float, g: float) -> float:
     saturating around √(4ε) ≈ 3e−8 relative — certifying below that needs
     higher-precision coefficients (the df path)."""
     return 4.0 * float(np.finfo(np.float64).eps) * max(abs(u), abs(g))
+
+
+def _radau_quadrature(decomp, f: FSpec, zeta: float) -> float:
+    """The (s+1)-point Gauss–Radau estimate of bᵀf(A)b with the fixed
+    node ζ (host eigh of the extended tridiagonal)."""
+    d, e = tridiagonal_valid(decomp)
+    beta_s = _beta_last(decomp)
+    if d.size == 0:
+        return 0.0
+    if beta_s == 0.0:
+        return quadratic_form(decomp, f)  # invariant: Gauss already exact
+    d_hat, e_hat = _radau_extended(d, e, beta_s, zeta)
+    theta, s_vecs = _eigh_tridiagonal(d_hat, e_hat)
+    return _b_norm(decomp) ** 2 * float(
+        np.dot(_f_of_theta(theta, f), s_vecs[0, :] ** 2))
+
+
+def quadrature_bracket(
+    decomp: LanczosDecomposition, interval, f: FSpec = "exp"
+) -> Tuple[float, float]:
+    """``(lower, upper)`` enclosure of bᵀf(A)b for ``f`` with
+    sign-definite high derivatives, from spectrum bounds alone.
+
+    ``interval = (a, b)`` must satisfy spec(A) ⊆ [a, b] (an underestimate
+    of λ_min and an overestimate of λ_max — e.g. Gershgorin, or
+    :func:`~two_pass_lanczos_tpu.algorithms.chebyshev.estimate_interval`
+    with its safety margin). The classical Golub–Meurant sign analysis
+    picks the sides:
+
+    * ``f = "exp"`` (all derivatives > 0): the left-node Radau rule
+      under-estimates (error ∝ f^(2s+1)(ξ)·(x−a) ≥ 0 on [a, b]) and the
+      right-node rule over-estimates — bracket = (Radau(a), Radau(b)).
+      Valid for ANY symmetric A.
+    * ``f = "inv"`` (derivatives alternate): on SPD A with a > 0 the
+      Gauss rule under-estimates and the left-node Radau rule
+      over-estimates — bracket = (Gauss, Radau(a)), i.e. exactly
+      :func:`gauss_radau_bracket` (kept for API compatibility).
+
+    Arbitrary callables are rejected — the enclosure property rests on
+    the derivative signs, which a black-box f cannot promise.
+    """
+    a, b = float(interval[0]), float(interval[1])
+    if not a < b:
+        raise ValueError(f"interval must satisfy a < b, got ({a}, {b})")
+    if f == "exp":
+        return (_radau_quadrature(decomp, "exp", a),
+                _radau_quadrature(decomp, "exp", b))
+    if f == "inv":
+        if a <= 0.0:
+            raise ValueError(
+                "quadrature_bracket(f='inv') requires a > 0 (SPD A)")
+        return gauss_radau_bracket(decomp, a)
+    raise ValueError(
+        f"quadrature_bracket supports f in ('exp', 'inv'), got {f!r} "
+        "(the enclosure needs sign-definite derivatives)")
