@@ -229,3 +229,28 @@ def test_jit_composability():
 
     x = outer(op, b_dev)
     np.testing.assert_allclose(np.asarray(x), 2.0 * b / d, rtol=1e-9)
+
+
+def test_sharded_interval_estimation_and_auto_chebyshev():
+    """The mesh no longer needs a user interval: estimate_interval runs
+    the DISTRIBUTED eigsh twice and matches the single-device estimator's
+    semantics; chebyshev_fAb(interval=None) then solves correctly."""
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedSparseOperator, make_mesh,
+    )
+
+    n = 222
+    d = np.linspace(0.5, 8.0, n)
+    idx = np.arange(n)
+    sop = ShardedSparseOperator(n, idx, idx, np.asarray(d, np.float64),
+                                make_mesh(2))
+    a, b_hi = sop.estimate_interval()
+    assert a <= 0.5 and b_hi >= 8.0       # contains the spectrum
+    assert a > 0.0                         # SPD floor preserved (inv-safe)
+    assert b_hi < 12.0                     # not absurdly wide
+    rng = np.random.default_rng(3)
+    vec = rng.standard_normal(n)
+    x = sop.chebyshev_fAb(vec, "inv", degree=60)
+    truth = vec / d
+    rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
+    assert rel < 1e-6, rel

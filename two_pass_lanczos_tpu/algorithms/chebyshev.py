@@ -124,6 +124,14 @@ def estimate_interval(
     k_lo, k_hi = jax.random.split(key)
     hi = eigsh(operator, nev=1, which="LA", tol=tol, ncv=min(20, operator.shape[0]), key=k_hi)
     lo = eigsh(operator, nev=1, which="SA", tol=tol, ncv=min(20, operator.shape[0]), key=k_lo)
+    return interval_from_extremes(hi, lo, margin)
+
+
+def interval_from_extremes(hi, lo, margin: float) -> Tuple[float, float]:
+    """Widen two extreme-eigenpair results into a Chebyshev interval —
+    the residual-plus-margin padding shared by the single-device and
+    sharded estimators (``hi``/``lo`` are LA/SA :class:`eigen.EigshResult`
+    values from ANY driver)."""
     lam_hi = float(hi.eigenvalues[-1]) + float(hi.residual_norms[-1])
     lam_lo = float(lo.eigenvalues[0]) - float(lo.residual_norms[0])
     width = max(lam_hi - lam_lo, 1e-12 * max(abs(lam_hi), abs(lam_lo), 1.0))

@@ -779,7 +779,26 @@ class ShardedSparseOperator:
         return self._restore_x(np.asarray(x).T).T
 
     # ------------------------------------------------------------------
-    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
+    def estimate_interval(self, *, margin: float = 0.05, tol: float = 1e-3,
+                          key=None):
+        """Spectral interval [a, b] ⊇ spec(A) via two 1-eigenpair runs of
+        the DISTRIBUTED :meth:`eigsh` (LA + SA), widened by the residual
+        norms plus ``margin`` — the mesh counterpart of
+        :func:`algorithms.chebyshev.estimate_interval` (same widening
+        helper, so the padding semantics are identical)."""
+        from two_pass_lanczos_tpu.algorithms.chebyshev import (
+            interval_from_extremes,
+        )
+
+        if key is None:
+            key = jax.random.key(0)
+        k_lo, k_hi = jax.random.split(key)
+        ncv = min(20, self.part.n_orig)
+        hi = self.eigsh(nev=1, which="LA", tol=tol, ncv=ncv, key=k_hi)
+        lo = self.eigsh(nev=1, which="SA", tol=tol, ncv=ncv, key=k_lo)
+        return interval_from_extremes(hi, lo, margin)
+
+    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval=None,
                       raw: bool = False):
         """Distributed Chebyshev-expansion f(A)·b: ``degree`` local SpMVs
         under one ``shard_map``-ped scan, O(n/ndev) memory per device and
@@ -787,12 +806,13 @@ class ShardedSparseOperator:
         three-term recurrence has no inner products — unlike Lanczos'
         2 psums per step).
 
-        ``interval`` must contain spec(A) and is required here (the
-        single-device path can estimate it via ``eigsh``; on a mesh, pass
-        a cached/known interval). The row padding is invariant under the
-        recurrence (padded entries of b are zero and A's padded rows are
-        empty), so the padded operator's spurious zero eigenvalues never
-        contribute. Multi-host runs must use ``raw=True``.
+        ``interval`` must contain spec(A); ``None`` estimates it with
+        :meth:`estimate_interval` (two distributed 1-eigenpair ``eigsh``
+        runs — pass a cached/known interval to skip that cost on repeated
+        solves). The row padding is invariant under the recurrence
+        (padded entries of b are zero and A's padded rows are empty), so
+        the padded operator's spurious zero eigenvalues never contribute.
+        Multi-host runs must use ``raw=True``.
         """
         from two_pass_lanczos_tpu.algorithms.chebyshev import (
             chebyshev_coefficients,
@@ -800,6 +820,8 @@ class ShardedSparseOperator:
             validate_interval_for_f,
         )
 
+        if interval is None:
+            interval = self.estimate_interval()
         a_lo, a_hi = float(interval[0]), float(interval[1])
         validate_interval_for_f(f, a_lo, a_hi)
         rdt = np.dtype(self.dtype)
