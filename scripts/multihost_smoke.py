@@ -68,9 +68,19 @@ def main() -> int:
         rel = abs(b_norm - args.expect_bnorm) / args.expect_bnorm
         assert rel < 1e-5, (b_norm, args.expect_bnorm)
 
+    # the capability layer over process boundaries: SLQ on the fused
+    # sharded path returns replicated scalars, host-readable everywhere
+    # (tr A^2 = ||A||_F^2 Hutchinson samples; exact check is the
+    # launcher's job, finiteness + replication is this smoke's)
+    slq = solver.slq_trace(lambda t: t * t, k=4, num_probes=2,
+                           key=jax.random.key(0))
+    slq_est = float(slq.estimate)
+    assert np.isfinite(slq_est), slq_est
+
     if args.process_id == 0:
         print(f"MULTIHOST_OK bnorm={b_norm!r} steps={steps} "
-              f"xn_norm={float(np.linalg.norm(xn_np))!r}")
+              f"xn_norm={float(np.linalg.norm(xn_np))!r} "
+              f"slq={slq_est!r}")
     jax.distributed.shutdown()
     return 0
 
