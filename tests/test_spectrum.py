@@ -280,3 +280,33 @@ class TestQuadratureBracket:
         truth = float(np.exp(2.0) + np.exp(5.0))
         assert lo == pytest.approx(truth, rel=1e-12)
         assert up == pytest.approx(truth, rel=1e-12)
+
+
+def test_certificate_from_sharded_decomposition():
+    """The pytree contract extends to the certificates: the distributed
+    solver's replicated decomposition feeds a_norm_error_history and the
+    brackets agree with the single-device run's to reduction rounding."""
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedSparseOperator, make_mesh,
+    )
+
+    n, k = 240, 30
+    d = np.linspace(0.5, 20.0, n)
+    rng = np.random.default_rng(51)
+    b = rng.standard_normal(n)
+    idx = np.arange(n)
+    sop = ShardedSparseOperator(n, idx, idx, d, make_mesh(2))
+    _, dec_sh = sop.solve_fAb(b, k=k, f="inv")
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    dec_1 = tpl.lanczos_pass_one(op, jnp.asarray(b), k)
+    js_s, lo_s, up_s = tpl.a_norm_error_history(dec_sh, 0.5)
+    js_1, lo_1, up_1 = tpl.a_norm_error_history(dec_1, 0.5)
+    np.testing.assert_array_equal(js_s, js_1)
+    np.testing.assert_allclose(up_s, up_1, rtol=1e-6)
+    # and the bracket still encloses the truth computed from the
+    # sharded solve's own iterate at the final certified step
+    x_true = b / d
+    x_sh, _ = sop.solve_fAb(b, k=int(js_s[-1]), f="inv")
+    err = float(np.sqrt(np.sum(d * (x_true - np.asarray(x_sh)) ** 2)))
+    assert lo_s[-1] <= err * (1 + 1e-6) + 1e-12
+    assert err <= up_s[-1] * (1 + 1e-6) + 1e-12
