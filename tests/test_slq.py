@@ -343,3 +343,61 @@ def test_adaptive_slq_cap_is_exact():
                              target_rel_stderr=1e-12, batch=8,
                              max_probes=10)
     assert res.samples.shape[0] == 10
+
+
+class TestAdaptiveOnProductionTiers:
+    """slq_trace_adaptive on the fused single-chip and arc-sharded paths:
+    the shared adaptive driver draws batches through the tier's kernel
+    and certifies the target standard error."""
+
+    def _kkt(self, rng, m=300, p=120):
+        u = rng.integers(0, p, m).astype(np.int32)
+        v = ((u + 1 + rng.integers(0, p - 1, m)) % p).astype(np.int32)
+        d = rng.uniform(1.0, 3.0, m).astype(np.float32)
+        return d, u, v, p
+
+    def test_fused_adaptive(self, rng):
+        from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+        d, u, v, p = self._kkt(rng)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        res = s.slq_trace_adaptive(lambda t: t * t, k=8, batch=4,
+                                   target_rel_stderr=0.2, max_probes=24,
+                                   key=jax.random.key(3))
+        truth = float(np.sum(d.astype(np.float64) ** 2) + 4 * len(d))
+        assert res.samples.shape[0] >= 8  # two-batch minimum
+        assert abs(float(res.estimate) - truth) < 0.3 * truth
+        # certified or capped
+        assert (float(res.stderr) <= 0.2 * abs(float(res.estimate))
+                or res.samples.shape[0] == 24)
+
+    def test_sharded_fused_adaptive(self, rng):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedFusedKKTSolver, make_mesh,
+        )
+
+        d, u, v, p = self._kkt(rng)
+        s = ShardedFusedKKTSolver(d, u, v, p, make_mesh(2), interpret=True)
+        res = s.slq_trace_adaptive(lambda t: t * t, k=8, batch=4,
+                                   target_rel_stderr=0.2, max_probes=16,
+                                   key=jax.random.key(4))
+        truth = float(np.sum(d.astype(np.float64) ** 2) + 4 * len(d))
+        assert abs(float(res.estimate) - truth) < 0.3 * truth
+
+    def test_generic_sharded_adaptive(self, rng):
+        from two_pass_lanczos_tpu.parallel import (
+            ShardedSparseOperator, make_mesh,
+        )
+
+        n = 200
+        dvals = np.linspace(1.0, 4.0, n)
+        idx = np.arange(n)
+        sop = ShardedSparseOperator(n, idx, idx, dvals, make_mesh(2))
+        res = sop.slq_trace_adaptive(lambda t: t * t, k=6, batch=4,
+                                     target_rel_stderr=0.05,
+                                     max_probes=32, key=jax.random.key(5))
+        # diagonal + Rademacher: every sample exact => stderr 0, stops
+        # at the two-batch minimum
+        truth = float(np.sum(dvals ** 2))
+        assert float(res.estimate) == pytest.approx(truth, rel=1e-5)
+        assert res.samples.shape[0] == 8

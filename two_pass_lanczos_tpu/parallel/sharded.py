@@ -607,6 +607,24 @@ class ShardedSparseOperator:
                                       steps_taken=steps, b_norm=b_norm)
         return slq_stats(batched_quadratic_form(decomp, f))
 
+
+    def slq_trace_adaptive(self, f="inv", *, k: int = 50, key,
+                           probe: str = "rademacher",
+                           target_rel_stderr: float = 0.01,
+                           batch: int = 8, max_probes: int = 512):
+        """:meth:`slq_trace` with the probe count chosen adaptively —
+        the shared :func:`slq.adaptive_probe_loop` driver drawing
+        ``batch`` probes per round through THIS tier's kernel path until
+        the sample standard error certifies ``target_rel_stderr`` (or
+        ``max_probes``). One compiled shape per distinct batch size."""
+        from two_pass_lanczos_tpu.slq import adaptive_probe_loop
+
+        return adaptive_probe_loop(
+            lambda sub, take: self.slq_trace(
+                f, k=k, num_probes=take, key=sub, probe=probe).samples,
+            key, batch=batch, max_probes=max_probes,
+            target_rel_stderr=target_rel_stderr)
+
     # ------------------------------------------------------------------
     def solve_fAb_block(self, b_block, *, k: int, f="exp", raw: bool = False):
         """Distributed block Lanczos f(A)·B over the row partition.

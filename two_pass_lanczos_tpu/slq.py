@@ -247,13 +247,30 @@ def slq_trace_adaptive(
     exactness cases (e.g. Rademacher probes on diagonal A) stop after the
     minimum two batches.
     """
+    n = operator.shape[0]
+    if not callable(f):
+        _f_of_theta(jnp.ones(1), f)
+
+    def run_batch(sub, take):
+        probes = _draw_probes(sub, take, n, operator.dtype, probe)
+        return _slq_run(operator, probes, k, f).samples
+
+    return adaptive_probe_loop(
+        run_batch, key, batch=batch, max_probes=max_probes,
+        target_rel_stderr=target_rel_stderr)
+
+
+def adaptive_probe_loop(run_batch, key, *, batch: int, max_probes: int,
+                        target_rel_stderr: float) -> SLQResult:
+    """The adaptive Hutchinson driver shared by every SLQ tier (XLA,
+    fused VMEM-resident, arc-sharded fused): call ``run_batch(sub_key,
+    take)`` → per-probe samples, accumulate until the sample standard
+    error certifies ``target_rel_stderr`` (two-batch minimum — one
+    batch's variance estimate is too noisy) or ``max_probes`` is hit."""
     if batch < 2:
         raise ValueError("batch must be >= 2 (variance needs >= 2 samples)")
     if not 0.0 < target_rel_stderr:
         raise ValueError("target_rel_stderr must be > 0")
-    n = operator.shape[0]
-    if not callable(f):
-        _f_of_theta(jnp.ones(1), f)
     if max_probes < 2:
         raise ValueError("max_probes must be >= 2")
     samples = []
@@ -261,14 +278,11 @@ def slq_trace_adaptive(
     while True:
         take = min(batch, max_probes - m)  # never overspend the cap
         key, sub = jax.random.split(key)
-        probes = _draw_probes(sub, take, n, operator.dtype, probe)
-        samples.append(np.asarray(_slq_run(operator, probes, k, f).samples))
+        samples.append(np.asarray(run_batch(sub, take)))
         all_s = np.concatenate(samples)
         m = all_s.shape[0]
         est = float(np.mean(all_s))
         stderr = float(np.std(all_s, ddof=1) / np.sqrt(m))
-        # two batches minimum: one batch's variance estimate is too noisy
-        # to certify the target
         if m >= min(2 * batch, max_probes) and (
                 stderr <= target_rel_stderr * max(abs(est), 1e-300)):
             break
