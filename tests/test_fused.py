@@ -529,3 +529,26 @@ class TestFusedSLQ:
             s.slq_trace("inv", num_probes=0, key=jax.random.key(0))
         with pytest.raises(ValueError, match="unknown"):
             s.slq_trace("nope", key=jax.random.key(0))
+
+
+class TestFusedDOS:
+    def test_matches_xla_dos_same_probes(self, rng):
+        """DOS on the fused kernel vs the XLA estimator with identical
+        probes: pointwise agreement at f32 rounding, integral 1."""
+        import jax
+
+        from two_pass_lanczos_tpu.slq import slq_spectral_density
+
+        d, u, v, p = _random_kkt(rng, m=300, p=120)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        op = _xla_op(d, u, v, p)
+        grid = np.linspace(-4.0, 6.0, 101)
+        key = jax.random.key(9)
+        phi_f = np.asarray(s.slq_spectral_density(
+            grid, k=12, num_probes=4, key=key))
+        phi_x = np.asarray(slq_spectral_density(
+            op, grid, k=12, num_probes=4, key=key))
+        np.testing.assert_allclose(phi_f, phi_x, rtol=5e-3,
+                                   atol=5e-4 * phi_x.max())
+        mass = np.trapezoid(phi_f, grid)
+        assert abs(mass - 1.0) < 0.05, mass

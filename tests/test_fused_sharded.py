@@ -278,3 +278,20 @@ class TestShardedFusedSLQ:
             sh.slq_trace("inv", num_probes=0, key=jax.random.key(0))
         with pytest.raises(ValueError, match="unknown"):
             sh.slq_trace("bogus", key=jax.random.key(0))
+
+
+class TestShardedFusedDOS:
+    def test_dos_matches_single_chip(self, rng):
+        import jax
+
+        d, u, v, p = _random_kkt(rng, m=400, p=150)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(2), interpret=True)
+        single = FusedKKTSolver(d, u, v, p, interpret=True)
+        grid = np.linspace(-4.0, 6.0, 81)
+        key = jax.random.key(10)
+        phi_sh = np.asarray(sh.slq_spectral_density(
+            grid, k=10, num_probes=3, key=key))
+        phi_1 = np.asarray(single.slq_spectral_density(
+            grid, k=10, num_probes=3, key=key))
+        np.testing.assert_allclose(phi_sh, phi_1, rtol=5e-3,
+                                   atol=5e-4 * phi_1.max())

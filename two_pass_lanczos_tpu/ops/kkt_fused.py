@@ -1251,9 +1251,38 @@ class FusedKKTSolver:
             raise ValueError("num_probes must be >= 1")
         if not callable(f):
             _f_of_theta(np.ones(1), f)  # reject unknown strings up front
-        lay = self.layout
         probes = np.asarray(_draw_probes(
             key, num_probes, self.n, jnp.float32, probe))
+        decomp = self._slq_pass_one(probes, k)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
+    def slq_spectral_density(self, grid, *, sigma=None, k: int = 50,
+                             num_probes: int = 16, key,
+                             probe: str = "gaussian"):
+        """Smoothed spectral density (DOS) with the unit probes' pass one
+        in the fused kernel — :func:`slq.slq_spectral_density` on the
+        production path (same Lin–Saad–Yang estimator; the KDE half is
+        the shared :func:`slq.dos_from_decomposition`)."""
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            dos_from_decomposition,
+            validate_dos_params,
+        )
+
+        grid, sigma = validate_dos_params(grid, sigma, num_probes)
+        probes = np.asarray(_draw_probes(
+            key, num_probes, self.n, jnp.float32, probe))
+        probes = probes / np.linalg.norm(probes, axis=1, keepdims=True)
+        decomp = self._slq_pass_one(probes.astype(np.float32), k)
+        return dos_from_decomposition(
+            decomp, grid.astype(jnp.float32),
+            jnp.asarray(sigma, jnp.float32))
+
+    def _slq_pass_one(self, probes: np.ndarray, k: int):
+        """Batched pass one for (m, n) host probes: ONE jitted scan of the
+        fused kernel over the packed probe planes; returns the stacked
+        :class:`LanczosDecomposition` the batched quadratures consume."""
+        lay = self.layout
         flat = jnp.asarray(np.stack(
             [np.concatenate(lay.pack(z), axis=0) for z in probes]))
         ck = ("slq_p1", k)
@@ -1292,9 +1321,8 @@ class FusedKKTSolver:
             self._chunk_jits[ck] = jax.jit(run)
         al, be, bno, stp = self._chunk_jits[ck](
             self._arrs, self._wins, flat)
-        decomp = LanczosDecomposition(
+        return LanczosDecomposition(
             alphas=al, betas=be, steps_taken=stp, b_norm=bno)
-        return slq_stats(batched_quadratic_form(decomp, f))
 
 
     def slq_trace_adaptive(self, f="inv", *, k: int = 50, key,

@@ -623,6 +623,36 @@ class ShardedFusedKKTSolver:
             _f_of_theta(np.ones(1), f)
         probes = np.asarray(_draw_probes(
             key, num_probes, self.n, jnp.float32, probe))
+        decomp = self._slq_pass_one(probes, k)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
+    def slq_spectral_density(self, grid, *, sigma=None, k: int = 50,
+                             num_probes: int = 16, key,
+                             probe: str = "gaussian"):
+        """Smoothed spectral density (DOS) over the arc partition — the
+        unit probes' pass one runs under one shard_map with the fused
+        solve's collective structure; the KDE half is the shared
+        :func:`slq.dos_from_decomposition` on the replicated
+        decomposition."""
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            dos_from_decomposition,
+            validate_dos_params,
+        )
+
+        grid, sigma = validate_dos_params(grid, sigma, num_probes)
+        probes = np.asarray(_draw_probes(
+            key, num_probes, self.n, jnp.float32, probe))
+        probes = probes / np.linalg.norm(probes, axis=1, keepdims=True)
+        decomp = self._slq_pass_one(probes.astype(np.float32), k)
+        return dos_from_decomposition(
+            decomp, grid.astype(jnp.float32),
+            jnp.asarray(sigma, jnp.float32))
+
+    def _slq_pass_one(self, probes: np.ndarray, k: int):
+        """Batched pass one for (m, n) host probes under ONE shard_map;
+        returns the replicated stacked decomposition."""
+        num_probes = probes.shape[0]
         # pack all probes host-side (shared layout scatter), ship as
         # three transfers total
         xu, xv, xn = self._pack_batched_np(probes)
@@ -660,9 +690,8 @@ class ShardedFusedKKTSolver:
             ))
         al, be, st, bno = self._solve_cache[ck](
             self._arrs + self._wins, bu, bv, bn)
-        decomp = LanczosDecomposition(
+        return LanczosDecomposition(
             alphas=al, betas=be, steps_taken=st, b_norm=bno)
-        return slq_stats(batched_quadratic_form(decomp, f))
 
 
     def slq_trace_adaptive(self, f="inv", *, k: int = 50, key,

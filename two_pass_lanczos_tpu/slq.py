@@ -294,14 +294,38 @@ def adaptive_probe_loop(run_batch, key, *, batch: int, max_probes: int,
                      samples=jnp.asarray(all_s))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _dos_run(operator, probes, grid, sigma, k):
-    decomp = lanczos_pass_one_batched(operator, probes, k)
+@jax.jit
+def dos_from_decomposition(decomp, grid, sigma):
+    """Smoothed DOS on ``grid`` from a batched (per-probe) decomposition:
+    average of the Gaussian-KDE'd k-node spectral measures — the
+    Lin–Saad–Yang estimator's second half, shared by the XLA and fused
+    tiers (the first half is any batched pass one over unit probes)."""
     theta, w = batched_ritz_weights(decomp)
-    m = probes.shape[0]
+    m = theta.shape[0]
     g = jnp.exp(-0.5 * ((grid[None, None, :] - theta[:, :, None]) / sigma) ** 2)
     g = g / (sigma * jnp.sqrt(2.0 * jnp.pi))
     return jnp.sum(w[:, :, None] * g, axis=(0, 1)) / m
+
+
+def validate_dos_params(grid, sigma, num_probes):
+    """Shared parameter validation for the DOS estimators; returns the
+    device grid and the resolved ``sigma``."""
+    if num_probes < 1:
+        raise ValueError("num_probes must be >= 1")
+    grid = jnp.asarray(grid)
+    if grid.ndim != 1 or grid.shape[0] < 2:
+        raise ValueError("grid must be a 1-D array with at least 2 points")
+    if sigma is None:
+        sigma = 2.0 * float(grid[1] - grid[0])
+    if sigma <= 0.0:
+        raise ValueError("sigma must be > 0")
+    return grid, float(sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dos_run(operator, probes, grid, sigma, k):
+    decomp = lanczos_pass_one_batched(operator, probes, k)
+    return dos_from_decomposition(decomp, grid, sigma)
 
 
 def slq_spectral_density(
@@ -329,15 +353,7 @@ def slq_spectral_density(
     Runs as ONE vmapped scan + ONE batched ``eigh`` + one broadcast
     kernel-density evaluation, all inside a single jit.
     """
-    if num_probes < 1:
-        raise ValueError("num_probes must be >= 1")
-    grid = jnp.asarray(grid)
-    if grid.ndim != 1 or grid.shape[0] < 2:
-        raise ValueError("grid must be a 1-D array with at least 2 points")
-    if sigma is None:
-        sigma = 2.0 * float(grid[1] - grid[0])
-    if sigma <= 0.0:
-        raise ValueError("sigma must be > 0")
+    grid, sigma = validate_dos_params(grid, sigma, num_probes)
     n = operator.shape[0]
     probes = _draw_probes(key, num_probes, n, operator.dtype, probe)
     probes = probes / jnp.linalg.norm(probes, axis=1, keepdims=True)
