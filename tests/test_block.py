@@ -335,3 +335,67 @@ def test_complex_hermitian_sharded_block():
     truth = (q * (1.0 / d)) @ (q.conj().T @ B)
     rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
     assert rel < 1e-9, rel
+
+
+class TestJittableBlockSolve:
+    """solve_fAb_block_jit: fixed shapes end-to-end — composes inside an
+    outer jit and matches the host-orchestrated solver."""
+
+    def test_matches_host_solver_under_jit(self):
+        import jax
+
+        n, p, k = 200, 3, 30
+        d = np.linspace(0.5, 10.0, n)
+        rng = np.random.default_rng(61)
+        B = rng.standard_normal((n, p))
+        op = _diag_op(d)
+        for f in ("inv", "exp"):
+            for method in ("one_pass", "two_pass"):
+                jitted = jax.jit(lambda bb, f=f, m=method: tpl.
+                                 solve_fAb_block_jit(op, bb, k=k, f=f,
+                                                     method=m))
+                x_j = np.asarray(jitted(jnp.asarray(B)))
+                x_h = np.asarray(solve_fAb_block(op, jnp.asarray(B), k, f,
+                                                 method=method))
+                rel = (np.linalg.norm(x_j - x_h)
+                       / np.linalg.norm(x_h))
+                assert rel < 1e-10, (f, method, rel)
+
+    def test_breakdown_inside_jit(self):
+        """Identity padding: the multiplicity spectrum truncates at s=3
+        and the jitted result is still exact."""
+        import jax
+
+        d = np.array([1.0, 1.0, 2.0, 2.0, 5.0, 5.0] * 20)
+        rng = np.random.default_rng(62)
+        B = rng.standard_normal((len(d), 2))
+        op = _diag_op(d)
+        x = jax.jit(lambda bb: tpl.solve_fAb_block_jit(op, bb, k=10,
+                                                       f="inv"))(
+            jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(x), B / d[:, None],
+                                   rtol=1e-9)
+
+    def test_complex_hermitian_under_jit(self):
+        import jax
+
+        n, p, k = 40, 2, 20
+        d = np.linspace(1.0, 6.0, n)
+        a_np, q = _hermitian_pair(n, d, 63)
+        rng = np.random.default_rng(64)
+        B = rng.standard_normal((n, p)) + 1j * rng.standard_normal((n, p))
+        op = tpl.DenseOperator(jnp.asarray(a_np))
+        x = jax.jit(lambda bb: tpl.solve_fAb_block_jit(
+            op, bb, k=k, f="inv", method="two_pass"))(jnp.asarray(B))
+        truth = (q * (1.0 / d)) @ (q.conj().T @ B)
+        rel = np.linalg.norm(np.asarray(x) - truth) / np.linalg.norm(truth)
+        assert rel < 1e-9, rel
+
+    def test_zero_b_inside_jit(self):
+        import jax
+
+        op = _diag_op(np.linspace(1.0, 2.0, 16))
+        x = jax.jit(lambda bb: tpl.solve_fAb_block_jit(op, bb, k=4,
+                                                       f="inv"))(
+            jnp.zeros((16, 2), jnp.float64))
+        np.testing.assert_array_equal(np.asarray(x), np.zeros((16, 2)))

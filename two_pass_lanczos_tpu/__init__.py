@@ -90,9 +90,11 @@ from two_pass_lanczos_tpu.spectrum import (
 )
 from two_pass_lanczos_tpu.algorithms.block import (
     BlockDecomposition,
+    block_padded_f_e1,
     block_pass_one,
     block_pass_two,
     solve_fAb_block,
+    solve_fAb_block_jit,
 )
 from two_pass_lanczos_tpu.algorithms.chebyshev import (
     chebyshev_coefficients,
@@ -172,7 +174,9 @@ __all__ = [
     "BlockDecomposition",
     "block_pass_one",
     "block_pass_two",
+    "block_padded_f_e1",
     "solve_fAb_block",
+    "solve_fAb_block_jit",
     # stochastic Lanczos quadrature: tr f(A) (beyond the reference)
     "SLQResult",
     "lanczos_pass_one_batched",

@@ -42,7 +42,7 @@ from two_pass_lanczos_tpu.algorithms.core import breakdown_tolerance
 from two_pass_lanczos_tpu.operators import LinearOperator
 
 __all__ = ["BlockDecomposition", "block_pass_one", "block_pass_two",
-           "solve_fAb_block"]
+           "block_padded_f_e1", "solve_fAb_block", "solve_fAb_block_jit"]
 
 FSpec = Union[str, Callable[[np.ndarray], np.ndarray]]
 
@@ -338,3 +338,67 @@ def solve_fAb_block(
     if method == "two_pass":
         return block_pass_two(operator.matvec, b_block, decomp, y_dev)
     return jnp.einsum("knp,kpq->nq", basis[:s], y_dev[:s])
+
+
+def block_padded_f_e1(decomp: BlockDecomposition, f: FSpec) -> jax.Array:
+    """Fully-jittable ``Y = f(T_pad)·E₁·R₀`` on the padded block
+    decomposition — the block analogue of :func:`functions.padded_f_e1`.
+
+    Identity padding beyond ``steps_taken`` makes T_pad block-diagonal
+    ``[T_s, I]``; E₁ lives entirely in the leading block, so the padded
+    rows of Y are EXACT zeros and breakdown costs no accuracy. The
+    (k·p, k·p) eigendecomposition runs device-side in the working dtype
+    (the jittable trade — the host :func:`solve_fAb_block` evaluates the
+    projected solve in f64). Returns shape ``(k, p, p)``.
+    """
+    a = decomp.a_blocks
+    bb = decomp.b_blocks
+    k, p, _ = a.shape
+    steps = decomp.steps_taken
+    cdt = a.dtype
+    jj = jnp.arange(k)
+    a_pad = jnp.where((jj < steps)[:, None, None], a, jnp.eye(p, dtype=cdt))
+    # sub-diagonal block j couples blocks j and j+1: valid while j+1 < s
+    b_pad = jnp.where((jj + 1 < steps)[:, None, None], bb,
+                      jnp.zeros_like(bb))
+    t4 = jnp.zeros((k, p, k, p), cdt)
+    ar = jnp.arange(k)
+    t4 = t4.at[ar, :, ar, :].set(a_pad)
+    if k > 1:
+        ar1 = jnp.arange(k - 1)
+        sub = b_pad[: k - 1]
+        t4 = t4.at[ar1 + 1, :, ar1, :].set(sub)
+        t4 = t4.at[ar1, :, ar1 + 1, :].set(
+            jnp.conj(jnp.swapaxes(sub, 1, 2)))
+    t = t4.reshape(k * p, k * p)
+    lam, q = jnp.linalg.eigh(t)
+    from two_pass_lanczos_tpu.slq import _f_of_theta as _f_dev
+
+    flam = _f_dev(lam, f).astype(lam.dtype)
+    e1r0 = jnp.zeros((k * p, p), cdt).at[:p].set(decomp.r0)
+    y = ((q * flam) @ (jnp.conj(q).T @ e1r0)).reshape(k, p, p)
+    # explicit mask (guards against eigensolver noise on degenerate pads)
+    return jnp.where((jj < steps)[:, None, None], y, jnp.zeros((), y.dtype))
+
+
+def solve_fAb_block_jit(
+    operator: LinearOperator, b_block, *, k: int, f: FSpec = "exp",
+    method: str = "one_pass",
+) -> jax.Array:
+    """Fully-jittable ``f(A)·B`` — the block analogue of
+    :func:`solvers.solve_fAb`: fixed shapes end-to-end, safe inside
+    larger jitted programs (the host-orchestrated
+    :func:`solve_fAb_block` evaluates the tiny projected solve in f64
+    instead — the same division of labor as the single-vector pair).
+    """
+    if method not in ("one_pass", "two_pass"):
+        raise ValueError(f"unknown method {method!r}")
+    b_block = jnp.asarray(b_block)
+    emit = method == "one_pass"
+    decomp, basis = block_pass_one(operator.matvec, b_block, k,
+                                   emit_basis=emit)
+    y = block_padded_f_e1(decomp, f)
+    if emit:
+        return jnp.einsum("knp,kpq->nq", basis, y.astype(basis.dtype))
+    return block_pass_two(operator.matvec, b_block, decomp,
+                          y.astype(b_block.dtype))
