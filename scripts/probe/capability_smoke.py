@@ -105,6 +105,34 @@ def main(argv=None):
         assert lo <= truth * 1.01 and hi >= truth * 0.99, (lo, truth, hi)
         return f"bracket width={(hi - lo):.3e}"
 
+    def block_jit():
+        B = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+        x = jax.jit(lambda bb: tpl.solve_fAb_block_jit(
+            op, bb, k=30, f="inv"))(B)
+        truth = np.asarray(B, np.float64) / d_np[:, None]
+        rel = float(np.linalg.norm(np.asarray(x, np.float64) - truth)
+                    / np.linalg.norm(truth))
+        assert rel < 1e-2, rel  # projected solve in f32 on chip
+        return f"jitted f(A)B rel={rel:.2e}"
+
+    def fused_slq():
+        # the production-kernel SLQ path on a real KKT instance
+        from two_pass_lanczos_tpu.ops.kkt_fused import FusedKKTSolver
+
+        m_arcs, p_nodes = 50_000, 1000
+        u = rng.integers(0, p_nodes, m_arcs).astype(np.int32)
+        v = ((u + 1 + rng.integers(0, p_nodes - 1, m_arcs))
+             % p_nodes).astype(np.int32)
+        dd = rng.uniform(1.0, 3.0, m_arcs).astype(np.float32)
+        interp = "--any-backend" in argv
+        s = FusedKKTSolver(dd, u, v, p_nodes, interpret=interp)
+        res = s.slq_trace(lambda t: t * t, k=10, num_probes=8,
+                          key=jax.random.key(5))
+        truth = float(np.sum(dd.astype(np.float64) ** 2) + 4 * m_arcs)
+        rel = abs(float(res.estimate) - truth) / truth
+        assert rel < 0.15, rel
+        return f"fused tr(A^2) rel={rel:.2e} ({m_arcs} arcs)"
+
     results = [
         check("slq_trace (batched eigh)", slq),
         check("slq_spectral_density", dos),
@@ -113,6 +141,8 @@ def main(argv=None):
         check("solve_fAb_block (device QR)", block),
         check("reorth='selective' (cond)", selective),
         check("gauss_radau_bracket", radau),
+        check("solve_fAb_block_jit (padded eigh)", block_jit),
+        check("FusedKKTSolver.slq_trace (kernel)", fused_slq),
     ]
     print(f"{sum(results)}/{len(results)} capability smokes passed on "
           f"{jax.devices()[0].device_kind}", flush=True)
