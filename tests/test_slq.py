@@ -401,3 +401,28 @@ class TestAdaptiveOnProductionTiers:
         truth = float(np.sum(dvals ** 2))
         assert float(res.estimate) == pytest.approx(truth, rel=1e-5)
         assert res.samples.shape[0] == 8
+
+
+def test_sharded_dos_matches_host(rng):
+    """DOS on the generic distributed tier: same key => pointwise match
+    with the host estimator, integral 1."""
+    from two_pass_lanczos_tpu.parallel import (
+        ShardedSparseOperator, make_mesh,
+    )
+    from two_pass_lanczos_tpu.slq import slq_spectral_density
+
+    n = 222
+    d = np.linspace(0.5, 9.0, n)
+    idx = np.arange(n)
+    sop = ShardedSparseOperator(n, idx, idx, d, make_mesh(2))
+    grid = np.linspace(0.0, 10.0, 101)
+    key = jax.random.key(12)
+    phi_s = np.asarray(sop.slq_spectral_density(
+        grid, sigma=0.3, k=16, num_probes=4, key=key))
+    op = tpl.DiagonalOperator(jnp.asarray(d, jnp.float64))
+    phi_h = np.asarray(slq_spectral_density(
+        op, grid, sigma=0.3, k=16, num_probes=4, key=key))
+    np.testing.assert_allclose(phi_s, phi_h, rtol=1e-8,
+                               atol=1e-10 * phi_h.max())
+    mass = np.trapezoid(phi_s, grid)
+    assert abs(mass - 1.0) < 0.05

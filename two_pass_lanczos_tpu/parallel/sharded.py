@@ -571,6 +571,37 @@ class ShardedSparseOperator:
         n = self.part.n_orig
         rdt = np.dtype(self.dtype)
         probes = np.asarray(_draw_probes(key, num_probes, n, rdt, probe))
+        decomp = self._slq_pass_one(probes, k)
+        return slq_stats(batched_quadratic_form(decomp, f))
+
+    def slq_spectral_density(self, grid, *, sigma=None, k: int = 50,
+                             num_probes: int = 16, key,
+                             probe: str = "gaussian"):
+        """Distributed smoothed spectral density (DOS): the unit probes'
+        pass one runs over the row partition (one vmapped scan inside one
+        shard_map, like :meth:`slq_trace`); the KDE half is the shared
+        :func:`slq.dos_from_decomposition` on the replicated
+        decomposition."""
+        from two_pass_lanczos_tpu.slq import (
+            _draw_probes,
+            dos_from_decomposition,
+            validate_dos_params,
+        )
+
+        grid, sigma = validate_dos_params(grid, sigma, num_probes)
+        rdt = np.dtype(self.dtype)
+        probes = np.asarray(_draw_probes(
+            key, num_probes, self.part.n_orig, rdt, probe))
+        probes = probes / np.linalg.norm(probes, axis=1, keepdims=True)
+        decomp = self._slq_pass_one(probes.astype(rdt), k)
+        return dos_from_decomposition(
+            decomp, grid.astype(rdt), jnp.asarray(sigma, rdt))
+
+    def _slq_pass_one(self, probes: np.ndarray, k: int):
+        """Batched pass one for (m, n) host probes over the row
+        partition; returns the replicated stacked decomposition."""
+        num_probes, n = probes.shape
+        rdt = np.dtype(self.dtype)
         # pad + permute each probe row, shard as (m, n_pad) over the axis
         pp = np.zeros((num_probes, self.part.n_pad), rdt)
         pp[:, :n] = probes
@@ -603,9 +634,8 @@ class ShardedSparseOperator:
                 check_vma=False))
         alphas, betas, steps, b_norm = self._solve_cache[ck](
             self.local_blocks, probes_sharded)
-        decomp = LanczosDecomposition(alphas=alphas, betas=betas,
-                                      steps_taken=steps, b_norm=b_norm)
-        return slq_stats(batched_quadratic_form(decomp, f))
+        return LanczosDecomposition(alphas=alphas, betas=betas,
+                                    steps_taken=steps, b_norm=b_norm)
 
 
     def slq_trace_adaptive(self, f="inv", *, k: int = 50, key,
