@@ -295,3 +295,32 @@ class TestShardedFusedDOS:
             grid, k=10, num_probes=3, key=key))
         np.testing.assert_allclose(phi_sh, phi_1, rtol=5e-3,
                                    atol=5e-4 * phi_1.max())
+
+
+class TestShardedFusedChebyshev:
+    @pytest.mark.parametrize("ndev", [1, 2])
+    def test_matches_xla_chebyshev(self, rng, ndev):
+        """Rep-space recurrence == the XLA-operator expansion to f32
+        rounding (same coefficients, same interval), and the duplication
+        invariant survives the scan (xu/xn consistency via unpack)."""
+        d, u, v, p = _random_kkt(rng, m=500, p=150)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(ndev),
+                                   interpret=True)
+        x_in = rng.standard_normal(len(d) + p).astype(np.float32)
+        interval = (-4.0, 6.0)
+        y_sh = sh.chebyshev_fAb(x_in, "exp", degree=30, interval=interval)
+        from two_pass_lanczos_tpu.algorithms.chebyshev import chebyshev_fAb
+
+        op = tpl.make_kkt_operator(d, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+        y_x = np.asarray(chebyshev_fAb(op, jnp.asarray(x_in), "exp",
+                                       degree=30, interval=interval))
+        np.testing.assert_allclose(y_sh, y_x, rtol=2e-4,
+                                   atol=2e-4 * np.abs(y_x).max())
+
+    def test_interval_validation(self, rng):
+        d, u, v, p = _random_kkt(rng, m=100, p=50)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(2), interpret=True)
+        with pytest.raises(ValueError, match="sign-definite"):
+            sh.chebyshev_fAb(np.ones(len(d) + p, np.float32), "inv",
+                             interval=(-1.0, 1.0))

@@ -181,22 +181,33 @@ def chebyshev_scan(matvec, b_in, cs, scale):
     is static via ``cs.shape``. The recurrence needs NO reductions — under
     ``shard_map`` it distributes with zero collectives beyond the matvec's
     own (see :meth:`parallel.sharded.ShardedSparseOperator.chebyshev_fAb`).
+
+    Pytree-generic: ``b_in`` may be any pytree of arrays with ``matvec``
+    mapping that pytree to a like pytree (e.g. the fused solvers'
+    duplicated (xu, xv, xn) rep — every recurrence update is elementwise,
+    so the duplication invariant is preserved). On a plain array the
+    tree_maps execute the identical elementwise ops as before.
     """
     alpha, beta = scale[0], scale[1]
+    tmap = jax.tree_util.tree_map
 
     def a_tilde(v):
-        return alpha.astype(v.dtype) * matvec(v) - beta.astype(v.dtype) * v
+        av = matvec(v)
+        return tmap(
+            lambda a_, v_: alpha.astype(v_.dtype) * a_
+            - beta.astype(v_.dtype) * v_, av, v)
 
-    acc = cs[0].astype(b_in.dtype) * b_in
+    acc = tmap(lambda x: cs[0].astype(x.dtype) * x, b_in)
     if cs.shape[0] == 1:
         return acc
     t_curr = a_tilde(b_in)
-    acc = acc + cs[1].astype(b_in.dtype) * t_curr
+    acc = tmap(lambda a_, t: a_ + cs[1].astype(t.dtype) * t, acc, t_curr)
 
     def step(carry, c_j):
         t_pm1, t_j, acc_j = carry
-        t_next = 2.0 * a_tilde(t_j) - t_pm1
-        acc_j = acc_j + c_j.astype(t_next.dtype) * t_next
+        t_next = tmap(lambda a_, p: 2.0 * a_ - p, a_tilde(t_j), t_pm1)
+        acc_j = tmap(lambda a_, t: a_ + c_j.astype(t.dtype) * t,
+                     acc_j, t_next)
         return (t_j, t_next, acc_j), None
 
     (_, _, acc), _ = jax.lax.scan(step, (b_in, t_curr, acc), cs[2:])

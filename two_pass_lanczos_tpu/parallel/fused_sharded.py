@@ -711,6 +711,60 @@ class ShardedFusedKKTSolver:
             key, batch=batch, max_probes=max_probes,
             target_rel_stderr=target_rel_stderr)
 
+    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
+                      raw: bool = False):
+        """Storage-free Chebyshev f(A)·b on the arc-sharded fused path:
+        the three-term recurrence runs on the duplicated (xu, xv, xn) rep
+        under ONE shard_map — every update is elementwise (the duplication
+        invariant is preserved), so the ONLY collective is the matvec's
+        own O(p) node psum; there are no inner products at all. Covers
+        storage-free solves at kernel speed for instances beyond the
+        VMEM-resident cap.
+
+        ``interval`` ⊇ spec(A) is required (the fused layout has no
+        eigsh; compute it once via
+        ``ShardedSparseOperator.from_kkt_arrays(...).estimate_interval()``
+        or Gershgorin and cache it). Multi-host: ``raw=True`` returns the
+        device pair ``(xu sharded, xn replicated)``.
+        """
+        from two_pass_lanczos_tpu.algorithms.chebyshev import (
+            chebyshev_coefficients,
+            chebyshev_scan,
+            validate_interval_for_f,
+        )
+
+        a_lo, a_hi = float(interval[0]), float(interval[1])
+        validate_interval_for_f(f, a_lo, a_hi)
+        cs = jnp.asarray(
+            chebyshev_coefficients(f, interval, degree), jnp.float32)
+        scale = jnp.asarray(
+            [2.0 / (a_hi - a_lo), (a_hi + a_lo) / (a_hi - a_lo)],
+            jnp.float32)
+        bu, bv, bn = self.pack(b)
+
+        ck = ("cheb", degree)
+        if ck not in self._solve_cache:
+            def run(arrs_and_wins, bu_, bv_, bn_, cs_, scale_):
+                arrs = tuple(a[0] for a in arrs_and_wins[:8])
+                wins = tuple(w[0] for w in arrs_and_wins[8:])
+                matvec, _ = self._shard_helpers(arrs, wins)
+                mv = lambda t: tuple(matvec(*t))
+                acc = chebyshev_scan(mv, (bu_[0], bv_[0], bn_), cs_, scale_)
+                return acc[0][None], acc[2]
+
+            self._solve_cache[ck] = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(tuple([P(self.axis)] * 10), P(self.axis),
+                          P(self.axis), P(), P(), P()),
+                out_specs=(P(self.axis), P()),
+                check_vma=False,
+            ))
+        xu, xn = self._solve_cache[ck](
+            self._arrs + self._wins, bu, bv, bn, cs, scale)
+        if raw:
+            return xu, xn
+        return self.unpack(xu, xn)
+
     def _matvec_fn(self):
         # cached like the solver path: rebuilding jit(shard_map(...)) per
         # call would pay retrace+compile every time
