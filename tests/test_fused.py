@@ -552,3 +552,29 @@ class TestFusedDOS:
                                    atol=5e-4 * phi_x.max())
         mass = np.trapezoid(phi_f, grid)
         assert abs(mass - 1.0) < 0.05, mass
+
+
+class TestFusedChebyshev:
+    def test_matches_xla_chebyshev(self, rng):
+        """One jitted scan of resident-kernel matvecs == the XLA-operator
+        expansion at f32 rounding."""
+        from two_pass_lanczos_tpu.algorithms.chebyshev import chebyshev_fAb
+
+        d, u, v, p = _random_kkt(rng, m=500, p=150)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x_in = rng.standard_normal(len(d) + p).astype(np.float32)
+        interval = (-4.0, 6.0)
+        y_f = s.chebyshev_fAb(x_in, "exp", degree=30, interval=interval)
+        op = tpl.make_kkt_operator(d, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+        y_x = np.asarray(chebyshev_fAb(op, jnp.asarray(x_in), "exp",
+                                       degree=30, interval=interval))
+        np.testing.assert_allclose(y_f, y_x, rtol=2e-4,
+                                   atol=2e-4 * np.abs(y_x).max())
+
+    def test_interval_validation(self, rng):
+        d, u, v, p = _random_kkt(rng, m=100, p=50)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        with pytest.raises(ValueError, match="sign-definite"):
+            s.chebyshev_fAb(np.ones(len(d) + p, np.float32), "inv",
+                            interval=(-1.0, 1.0))

@@ -1342,6 +1342,46 @@ class FusedKKTSolver:
             key, batch=batch, max_probes=max_probes,
             target_rel_stderr=target_rel_stderr)
 
+    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
+                      raw: bool = False):
+        """Storage-free Chebyshev f(A)·b through the VMEM-resident matvec
+        kernel: the three-term recurrence runs on the duplicated
+        (xu, xv, xn) rep (elementwise updates preserve the duplication
+        invariant) as ONE jitted scan of kernel calls — one dispatch for
+        all ``degree`` matvecs, no basis, no (α, β). The no-inner-product
+        alternative when only f(A)b is needed and spec(A) ⊆ ``interval``
+        is known (see :func:`algorithms.chebyshev.chebyshev_fAb`).
+        """
+        from two_pass_lanczos_tpu.algorithms.chebyshev import (
+            chebyshev_coefficients,
+            chebyshev_scan,
+            validate_interval_for_f,
+        )
+
+        a_lo, a_hi = float(interval[0]), float(interval[1])
+        validate_interval_for_f(f, a_lo, a_hi)
+        cs = jnp.asarray(
+            chebyshev_coefficients(f, interval, degree), jnp.float32)
+        scale = jnp.asarray(
+            [2.0 / (a_hi - a_lo), (a_hi + a_lo) / (a_hi - a_lo)],
+            jnp.float32)
+        b_flat = self.pack_flat(b)
+
+        ck = ("cheb", degree)
+        if ck not in self._chunk_jits:
+            def run(b_flat_, cs_, scale_):
+                # matvec_rep closes over the resident arc planes itself
+                mv = lambda t: tuple(self.matvec_rep(*t))
+                acc = chebyshev_scan(
+                    mv, self._split_flat(b_flat_), cs_, scale_)
+                return acc[0], acc[2]
+
+            self._chunk_jits[ck] = jax.jit(run)
+        xu, xn = self._chunk_jits[ck](b_flat, cs, scale)
+        if raw:
+            return xu, xn
+        return self.layout.unpack(np.asarray(xu), np.asarray(xn))
+
     def _chunk_call(self, chunk: int):
         key = ("p1chunk", chunk)
         if key not in self._chunk_jits:
