@@ -6,7 +6,7 @@
 #
 # Usage: bash scripts/onchip_queue.sh [results-dir]
 # Exits nonzero on the first failing step.
-set -u
+set -u -o pipefail  # pipefail: `python | tee` must fail when python does
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/onchip_queue}"
 mkdir -p "$OUT"

@@ -393,6 +393,10 @@ def solve_fAb_block_jit(
     """
     if method not in ("one_pass", "two_pass"):
         raise ValueError(f"unknown method {method!r}")
+    if not callable(f):
+        from two_pass_lanczos_tpu.spectrum import _f_of_theta
+
+        _f_of_theta(np.ones(1), f)  # reject unknown strings before any work
     b_block = jnp.asarray(b_block)
     emit = method == "one_pass"
     decomp, basis = block_pass_one(operator.matvec, b_block, k,

@@ -1172,8 +1172,10 @@ class FusedKKTSolver:
         r = self.layout.u.R
         return b_flat[:r], b_flat[r:2 * r], b_flat[2 * r:]
 
-    def matvec_rep(self, xu, xv, xn):
-        """A·x in the rep layout (testing hook)."""
+    def _matvec_rep_call(self, arrs, wins, xu, xv, xn):
+        """A·x in the rep layout with the arc planes passed as runtime
+        arguments (the class convention — closing over them would bake
+        ~100 MB of planes into the executable as constants)."""
         lay = self.layout
         vm, sm = self._common_specs()
         kern = functools.partial(
@@ -1191,7 +1193,11 @@ class FusedKKTSolver:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=self.interpret,
-        )(*self._arrs, xu, xv, xn, *self._wins)
+        )(*arrs, xu, xv, xn, *wins)
+
+    def matvec_rep(self, xu, xv, xn):
+        """A·x in the rep layout (testing hook)."""
+        return self._matvec_rep_call(self._arrs, self._wins, xu, xv, xn)
 
     def matvec(self, x) -> np.ndarray:
         """A·x on an (n,) vector via the rep round-trip (testing hook)."""
@@ -1369,15 +1375,16 @@ class FusedKKTSolver:
 
         ck = ("cheb", degree)
         if ck not in self._chunk_jits:
-            def run(b_flat_, cs_, scale_):
-                # matvec_rep closes over the resident arc planes itself
-                mv = lambda t: tuple(self.matvec_rep(*t))
+            def run(arrs, wins, b_flat_, cs_, scale_):
+                mv = lambda t: tuple(
+                    self._matvec_rep_call(arrs, wins, *t))
                 acc = chebyshev_scan(
                     mv, self._split_flat(b_flat_), cs_, scale_)
                 return acc[0], acc[2]
 
             self._chunk_jits[ck] = jax.jit(run)
-        xu, xn = self._chunk_jits[ck](b_flat, cs, scale)
+        xu, xn = self._chunk_jits[ck](
+            self._arrs, self._wins, b_flat, cs, scale)
         if raw:
             return xu, xn
         return self.layout.unpack(np.asarray(xu), np.asarray(xn))

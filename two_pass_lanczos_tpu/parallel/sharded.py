@@ -439,7 +439,8 @@ class ShardedSparseOperator:
 
     # ------------------------------------------------------------------
     def eigsh(self, nev: int = 6, *, which: str = "LA", ncv=None,
-              tol: float = 1e-8, maxiter: int = 100, v0=None, key=None):
+              tol: float = 1e-8, maxiter: int = 100, v0=None, key=None,
+              _restore_vectors: bool = True):
         """Distributed thick-restart Lanczos eigenpairs over the row
         partition — :func:`eigen.eigsh` with the (ncv+1, n) basis
         column-sharded along the mesh axis.
@@ -535,7 +536,12 @@ class ShardedSparseOperator:
             nev=nev, ell=ell, which=which, tol=tol, maxiter=maxiter, key=key)
         return EigshResult(
             eigenvalues=theta,
-            eigenvectors=self._restore_x(vectors_d),
+            # eigenvector restoration fetches the row-sharded global
+            # array — single-process meshes only (docstring); internal
+            # eigenvalue-only callers (estimate_interval) skip it so the
+            # multi-host path never touches non-addressable shards
+            eigenvectors=(self._restore_x(vectors_d)
+                          if _restore_vectors else None),
             residual_norms=resid,
             restarts=restarts,
             converged=converged,
@@ -842,8 +848,10 @@ class ShardedSparseOperator:
             key = jax.random.key(0)
         k_lo, k_hi = jax.random.split(key)
         ncv = min(20, self.part.n_orig)
-        hi = self.eigsh(nev=1, which="LA", tol=tol, ncv=ncv, key=k_hi)
-        lo = self.eigsh(nev=1, which="SA", tol=tol, ncv=ncv, key=k_lo)
+        hi = self.eigsh(nev=1, which="LA", tol=tol, ncv=ncv, key=k_hi,
+                        _restore_vectors=False)
+        lo = self.eigsh(nev=1, which="SA", tol=tol, ncv=ncv, key=k_lo,
+                        _restore_vectors=False)
         return interval_from_extremes(hi, lo, margin)
 
     def chebyshev_fAb(self, b, f, *, degree: int = 100, interval=None,

@@ -184,18 +184,10 @@ def gauss_radau_bracket(
     """
     if lambda_min <= 0.0:
         raise ValueError("gauss_radau_bracket requires lambda_min > 0 (SPD A)")
-    lower = quadratic_form(decomp, "inv")
-    d, e = tridiagonal_valid(decomp)
-    beta_s = _beta_last(decomp)
-    if d.size == 0:
-        return 0.0, 0.0
-    if beta_s == 0.0:
-        return lower, lower  # invariant subspace: Gauss is exact
-    d_hat, e_hat = _radau_extended(d, e, beta_s, lambda_min)
-    theta, s_vecs = _eigh_tridiagonal(d_hat, e_hat)
-    upper = _b_norm(decomp) ** 2 * float(
-        np.dot(1.0 / theta, s_vecs[0, :] ** 2))
-    return lower, upper
+    # lower = Gauss rule; upper = the shared Radau evaluator (which also
+    # owns the empty-decomposition and breakdown-exactness edge cases)
+    return (quadratic_form(decomp, "inv"),
+            _radau_quadrature(decomp, "inv", lambda_min))
 
 
 # ---------------------------------------------------------------------------
