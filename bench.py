@@ -78,7 +78,14 @@ def main() -> int:
     if not _wait_for_backend():
         print(f"bench.py: backend unreachable after {PREFLIGHT_WAIT_S}s of "
               "probing — TPU tunnel presumed down; aborting without a "
-              "metric.", file=sys.stderr, flush=True)
+              "measurement.", file=sys.stderr, flush=True)
+        # one honest machine-readable line (no fabricated number): the
+        # tunnel outage is the result, not a missing run
+        print(json.dumps({
+            "metric": "two_pass_inv_k500_arcs500000_rho3_wallclock",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "tpu_tunnel_down",
+        }), flush=True)
         return 3
     watchdog = _arm_watchdog()
     import jax
