@@ -399,3 +399,82 @@ class TestJittableBlockSolve:
                                                        f="inv"))(
             jnp.zeros((16, 2), jnp.float64))
         np.testing.assert_array_equal(np.asarray(x), np.zeros((16, 2)))
+
+
+class TestMatmulPrecision:
+    """The GEMM-heavy device programs must trace at HIGHEST dot precision.
+
+    TPU DEFAULT dot precision is bfloat16-class; CPU dots are exact-dtype,
+    so only the traced program (not a CPU numeric result) can pin the fix.
+    Measured on-chip before the fix: solve_fAb_block rel error 5.5e-3 on a
+    well-conditioned diagonal where the CPU harness pins ~1e-6
+    (2026-08-18 capability smoke)."""
+
+    @staticmethod
+    def _dots_all_highest(jaxpr_str):
+        import re
+
+        dots = re.findall(r"precision=\(([^)]*)\)", jaxpr_str)
+        assert dots, "no explicit-precision dots found in the program"
+        return all("HIGHEST" in d for d in dots)
+
+    def test_block_pass_one_traces_highest(self):
+        import jax
+
+        op = _diag_op(np.linspace(1.0, 2.0, 16))
+        b = jnp.ones((16, 2), jnp.float64)
+        txt = str(jax.make_jaxpr(
+            lambda bb: block_pass_one(op.matvec, bb, 4))(b))
+        assert self._dots_all_highest(txt)
+
+    def test_block_solvers_trace_highest(self):
+        import jax
+
+        op = _diag_op(np.linspace(1.0, 2.0, 16))
+        b = jnp.ones((16, 2), jnp.float64)
+        txt = str(jax.make_jaxpr(lambda bb: tpl.solve_fAb_block_jit(
+            op, bb, k=4, f="inv"))(b))
+        assert self._dots_all_highest(txt)
+
+    def test_reorth_sweeps_trace_highest(self):
+        import jax
+
+        from two_pass_lanczos_tpu.algorithms.reorth import (
+            pass_one_scan_reorth,
+            pass_one_scan_selective,
+        )
+
+        op = _diag_op(np.linspace(1.0, 2.0, 16))
+        b = jnp.ones((16,), jnp.float64)
+        for fn in (pass_one_scan_reorth, pass_one_scan_selective):
+            txt = str(jax.make_jaxpr(
+                lambda bb, f=fn: f(op.matvec, bb, 4))(b))
+            # the CGS einsums are HIGHEST; the recurrence's vdot keeps the
+            # plain path's default precision (bit-equality contract), so
+            # only assert presence, not exclusivity
+            assert "HIGHEST" in txt
+
+    def test_gemv_reconstruct_traces_highest(self):
+        import jax
+
+        from two_pass_lanczos_tpu.solvers import _gemv_reconstruct
+
+        v = jnp.ones((4, 16), jnp.float64)
+        y = jnp.ones((4,), jnp.float64)
+        txt = str(jax.make_jaxpr(lambda a, b: _gemv_reconstruct(a, b))(v, y))
+        assert "HIGHEST" in txt
+
+    def test_eigsh_cycle_traces_highest(self):
+        import jax
+
+        from two_pass_lanczos_tpu.eigen import _expand_and_ritz
+        from two_pass_lanczos_tpu.algorithms.core import f32_matmul_precision
+
+        op = _diag_op(np.linspace(1.0, 2.0, 16))
+        v = jnp.zeros((5, 16), jnp.float64).at[0, 0].set(1.0)
+        h = jnp.zeros((4, 4), jnp.float64)
+        txt = str(jax.make_jaxpr(f32_matmul_precision(
+            lambda vv: _expand_and_ritz(
+                op.matvec, vv, h, jnp.zeros((), jnp.int32),
+                jax.random.key(0))))(v))
+        assert "HIGHEST" in txt

@@ -38,7 +38,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from two_pass_lanczos_tpu.algorithms.core import breakdown_tolerance
+from two_pass_lanczos_tpu.algorithms.core import (
+    breakdown_tolerance,
+    f32_matmul_precision,
+)
 from two_pass_lanczos_tpu.operators import LinearOperator
 
 __all__ = ["BlockDecomposition", "block_pass_one", "block_pass_two",
@@ -129,6 +132,7 @@ def _block_recurrence_body(block_mv, v_prev, v_curr, b_prev):
     return w, a_j
 
 
+@f32_matmul_precision
 def block_pass_one(matvec, b_block: jax.Array, k: int, *,
                    emit_basis: bool = True):
     """``k`` block recurrence steps as one ``lax.scan``.
@@ -205,6 +209,7 @@ def block_pass_one(matvec, b_block: jax.Array, k: int, *,
     return decomp, (basis if emit_basis else None)
 
 
+@f32_matmul_precision
 def block_pass_two(matvec, b_block: jax.Array, decomp: BlockDecomposition,
                    y_blocks: jax.Array, *, emit_basis: bool = False):
     """Regenerate the block basis from the stored decomposition and
@@ -290,6 +295,7 @@ def _assemble_t(decomp: BlockDecomposition) -> np.ndarray:
     return t
 
 
+@f32_matmul_precision
 def solve_fAb_block(
     operator: LinearOperator, b_block, k: int, f: FSpec = "exp",
     method: str = "one_pass",
@@ -340,6 +346,7 @@ def solve_fAb_block(
     return jnp.einsum("knp,kpq->nq", basis[:s], y_dev[:s])
 
 
+@f32_matmul_precision
 def block_padded_f_e1(decomp: BlockDecomposition, f: FSpec) -> jax.Array:
     """Fully-jittable ``Y = f(T_pad)·E₁·R₀`` on the padded block
     decomposition — the block analogue of :func:`functions.padded_f_e1`.
@@ -381,6 +388,7 @@ def block_padded_f_e1(decomp: BlockDecomposition, f: FSpec) -> jax.Array:
     return jnp.where((jj < steps)[:, None, None], y, jnp.zeros((), y.dtype))
 
 
+@f32_matmul_precision
 def solve_fAb_block_jit(
     operator: LinearOperator, b_block, *, k: int, f: FSpec = "exp",
     method: str = "one_pass",

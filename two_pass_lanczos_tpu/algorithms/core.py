@@ -25,6 +25,7 @@ reference's ``basis_drift_fro == 0`` property (``tex/report.tex:492``,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -41,7 +42,30 @@ __all__ = [
     "pass_one_scan",
     "init_carry",
     "l2_norm",
+    "f32_matmul_precision",
 ]
+
+
+def f32_matmul_precision(fn):
+    """Trace ``fn`` under ``jax.default_matmul_precision("float32")``.
+
+    TPU MXU dots default to bfloat16-input precision (``Precision.DEFAULT``),
+    which caps any GEMM/GEMV at ~3 decimal digits regardless of the f32
+    storage dtype. CPU dots are exact-dtype, so CPU tests cannot catch the
+    gap — it was measured on-chip: ``solve_fAb_block`` at DEFAULT precision
+    hit rel 5.5e-3 where the CPU harness pins ~1e-6. Every GEMM-heavy
+    capability path (block QR recurrence, CGS2 sweeps, basis contractions)
+    must trace under this decorator. f64/CPU paths are unaffected, and the
+    scalar-reduction single-vector recurrence never used the MXU, so its
+    bit-exact replay contract is untouched.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def breakdown_tolerance(dtype) -> float:

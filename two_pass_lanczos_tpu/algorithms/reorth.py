@@ -97,10 +97,17 @@ def make_pass_one_step_reorth(matvec, dtype, *, sweeps: int = 2,
         w = w - alpha.astype(dt) * lc.v_curr
 
         for s in range(sweeps):
-            proj = jnp.einsum("kn,n->k", jnp.conj(basis), w)
+            # HIGHEST: TPU DEFAULT dot precision is bf16-class, which would
+            # cap the orthogonality defect near 1e-3 — exactly what these
+            # sweeps exist to remove. Scoped per-einsum (not a module-wide
+            # context) so the plain-recurrence ops above keep their exact
+            # FP sequence (core.py's bitwise contracts).
+            proj = jnp.einsum("kn,n->k", jnp.conj(basis), w,
+                              precision=jax.lax.Precision.HIGHEST)
             if reduce_sum is not None:
                 proj = reduce_sum(proj)
-            w = w - jnp.einsum("kn,k->n", basis, proj.astype(dt))
+            w = w - jnp.einsum("kn,k->n", basis, proj.astype(dt),
+                               precision=jax.lax.Precision.HIGHEST)
             if s == 0:
                 # classical correction: the residual component along v_{j+1}
                 alpha = alpha + jnp.real(proj[j]).astype(rdt)
@@ -236,10 +243,14 @@ def make_pass_one_step_selective(matvec, dtype, *, sweeps: int = 2,
             w_in, alpha_in, om_in = args
             w_r, alpha_r = w_in, alpha_in
             for s in range(sweeps):
-                proj = jnp.einsum("kn,n->k", jnp.conj(basis), w_r)
+                # HIGHEST for the same reason as the full-reorth sweeps:
+                # bf16-class DEFAULT would floor the defect near 1e-3.
+                proj = jnp.einsum("kn,n->k", jnp.conj(basis), w_r,
+                                  precision=jax.lax.Precision.HIGHEST)
                 if reduce_sum is not None:
                     proj = reduce_sum(proj)
-                w_r = w_r - jnp.einsum("kn,k->n", basis, proj.astype(dt))
+                w_r = w_r - jnp.einsum("kn,k->n", basis, proj.astype(dt),
+                                       precision=jax.lax.Precision.HIGHEST)
                 if s == 0:
                     alpha_r = alpha_r + jnp.real(proj[j]).astype(rdt)
             # orthogonality restored to working precision for i <= j

@@ -47,6 +47,7 @@ import numpy as np
 from two_pass_lanczos_tpu.algorithms.core import (
     _real_dtype,
     breakdown_tolerance,
+    f32_matmul_precision,
     l2_norm,
 )
 from two_pass_lanczos_tpu.operators import LinearOperator
@@ -164,11 +165,13 @@ def _expand_and_ritz(matvec, v_basis, h_proj, start, key, *,
 
 
 @jax.jit
+@f32_matmul_precision
 def _cycle(operator, v_basis, h_proj, start, key):
     return _expand_and_ritz(operator.matvec, v_basis, h_proj, start, key)
 
 
 @jax.jit
+@f32_matmul_precision
 def _thick_restart(v_basis, theta, s_vecs, keep_idx):
     """Contract the basis to the kept Ritz vectors + the residual direction.
 
@@ -189,6 +192,7 @@ def _thick_restart(v_basis, theta, s_vecs, keep_idx):
 
 
 @jax.jit
+@f32_matmul_precision
 def _ritz_vectors(v_basis, s_vecs, sel_idx):
     ncv = v_basis.shape[0] - 1
     return s_vecs[:, sel_idx].T @ v_basis[:ncv]

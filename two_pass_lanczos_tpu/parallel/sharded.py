@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from two_pass_lanczos_tpu.algorithms.core import (
     LanczosCarry,
     LanczosDecomposition,
+    f32_matmul_precision,
     init_carry,
     l2_norm,
     make_pass_one_step,
@@ -217,7 +218,9 @@ class ShardedSparseOperator:
             y = _stacked_y_local(decomp, f)
             y = (y * decomp.b_norm).astype(b_local.dtype)
             if method == "one_pass":
-                x_local = jnp.einsum("kn,...k->...n", basis, y)
+                # HIGHEST — same rationale as solvers._gemv_reconstruct
+                x_local = jnp.einsum("kn,...k->...n", basis, y,
+                                     precision=jax.lax.Precision.HIGHEST)
             else:
                 x_local, _ = _reconstruction_scan(
                     matvec, b_local, decomp, y, emit_basis=False
@@ -438,6 +441,7 @@ class ShardedSparseOperator:
         return self._restore_x(x_perm), decomp
 
     # ------------------------------------------------------------------
+    @f32_matmul_precision  # CGS2/restart GEMMs — see core.f32_matmul_precision
     def eigsh(self, nev: int = 6, *, which: str = "LA", ncv=None,
               tol: float = 1e-8, maxiter: int = 100, v0=None, key=None,
               _restore_vectors: bool = True):
@@ -662,6 +666,7 @@ class ShardedSparseOperator:
             target_rel_stderr=target_rel_stderr)
 
     # ------------------------------------------------------------------
+    @f32_matmul_precision  # block GEMMs/Grams — see core.f32_matmul_precision
     def solve_fAb_block(self, b_block, *, k: int, f="exp", raw: bool = False):
         """Distributed block Lanczos f(A)·B over the row partition.
 

@@ -208,7 +208,11 @@ def lanczos(
 def _gemv_reconstruct(v_k, y):
     # x = V_kᵀ · y  with V stored (k, n): one MXU GEMV (or GEMM for a
     # (nf, k) multi-function y stack — nf solutions from one basis).
-    return jnp.einsum("kn,...k->...n", v_k, y)
+    # HIGHEST: TPU DEFAULT dot precision is bf16-class and would inject
+    # ~1e-3 relative error into x at the very last step; the contraction
+    # is one matvec-equivalent of work, so full precision costs nothing.
+    return jnp.einsum("kn,...k->...n", v_k, y,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def lanczos_two_pass(
@@ -350,5 +354,7 @@ def solve_fAb(
         y = y[0]
     y = (y * decomp.b_norm).astype(b.dtype)
     if method == "one_pass":
-        return jnp.einsum("kn,...k->...n", v_k, y)
+        # HIGHEST — same rationale as _gemv_reconstruct
+        return jnp.einsum("kn,...k->...n", v_k, y,
+                          precision=jax.lax.Precision.HIGHEST)
     return lanczos_pass_two(operator, b, decomp, y)
