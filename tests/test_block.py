@@ -412,11 +412,19 @@ class TestMatmulPrecision:
 
     @staticmethod
     def _dots_all_highest(jaxpr_str):
+        """Every dot_general in the program carries an explicit HIGHEST
+        precision tuple. Counting total dot_generals (not just the ones
+        that print a tuple) is what makes a single regressed
+        DEFAULT-precision dot — printed as ``precision=None`` — fail
+        rather than slip past the tuple regex (ADVICE r4 low #3)."""
         import re
 
-        dots = re.findall(r"precision=\(([^)]*)\)", jaxpr_str)
-        assert dots, "no explicit-precision dots found in the program"
-        return all("HIGHEST" in d for d in dots)
+        total = len(re.findall(r"\bdot_general\b", jaxpr_str))
+        assert total, "no dot_general found in the program"
+        assert "precision=None" not in jaxpr_str, (
+            "a dot_general regressed to DEFAULT precision")
+        tuples = re.findall(r"precision=\(([^)]*)\)", jaxpr_str)
+        return len(tuples) == total and all("HIGHEST" in d for d in tuples)
 
     def test_block_pass_one_traces_highest(self):
         import jax

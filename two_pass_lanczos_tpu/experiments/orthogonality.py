@@ -77,9 +77,13 @@ def main(argv=None) -> int:
 
 
 def _solution_from_basis(v_k, y):
+    # HIGHEST so the measured curves reflect algorithmic error, not MXU
+    # input rounding (on TPU the default dot precision is bf16-class)
+    import jax
     import jax.numpy as jnp
 
-    x = jnp.einsum("kn,k->n", v_k, y.astype(v_k.dtype))
+    x = jnp.einsum("kn,k->n", v_k, y.astype(v_k.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return x, None
 
 

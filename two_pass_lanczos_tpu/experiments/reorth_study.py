@@ -99,7 +99,10 @@ def main(argv=None) -> int:
         else:
             decomp, basis = pass_one_scan(op.matvec, b, k, emit_basis=True)
         y = padded_f_e1(decomp, args.function) * decomp.b_norm
-        x = jnp.einsum("kn,k->n", basis, y.astype(basis.dtype))
+        # HIGHEST so the published curves measure algorithmic error, not
+        # MXU input rounding (default dot precision is bf16-class on TPU)
+        x = jnp.einsum("kn,k->n", basis, y.astype(basis.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
         s = int(decomp.steps_taken)
         v = np.asarray(basis, np.float64)[:s]
         defect = float(np.max(np.abs(v @ v.T - np.eye(s)))) if s else 0.0

@@ -1585,8 +1585,10 @@ class FusedKKTSolver:
             # x = V_k · y: one big memory-bound contraction over the stored
             # basis (reference ``src/solvers.rs:96-104``); a multi-f stack
             # turns the GEMV into a GEMM over the same basis read.
-            xu = jnp.einsum("krl,...k->...rl", basis_u, y_full)
-            xn = jnp.einsum("krl,...k->...rl", basis_n, y_full)
+            xu = jnp.einsum("krl,...k->...rl", basis_u, y_full,
+                            precision=jax.lax.Precision.HIGHEST)
+            xn = jnp.einsum("krl,...k->...rl", basis_n, y_full,
+                            precision=jax.lax.Precision.HIGHEST)
         else:
             xu, xn = self.pass_two(b_rep, decomp, y_full)
         # one stacked output array => one device→host transfer on fetch

@@ -324,8 +324,10 @@ class ShardedFusedKKTSolver:
                 # (a multi-f stack turns the GEMV into a GEMM over the
                 # same basis read)
                 basis_u, basis_n = outs[2], outs[3]
-                x_u = jnp.einsum("krl,...k->...rl", basis_u, y_full)
-                x_n = jnp.einsum("krl,...k->...rl", basis_n, y_full)
+                x_u = jnp.einsum("krl,...k->...rl", basis_u, y_full,
+                                 precision=jax.lax.Precision.HIGHEST)
+                x_n = jnp.einsum("krl,...k->...rl", basis_n, y_full,
+                                 precision=jax.lax.Precision.HIGHEST)
                 return x_u[None], x_n, alphas, betas, steps, b_norm
 
             # pass two: stored-beta replay (same collective structure)
