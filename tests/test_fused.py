@@ -578,3 +578,33 @@ class TestFusedChebyshev:
         with pytest.raises(ValueError, match="sign-definite"):
             s.chebyshev_fAb(np.ones(len(d) + p, np.float32), "inv",
                             interval=(-1.0, 1.0))
+
+    def test_auto_interval(self, rng):
+        """chebyshev_fAb works interval-free on this tier (VERDICT r4
+        item 7): the cached eigsh estimate encloses the spectrum and the
+        interval-free solve matches the XLA expansion run on the SAME
+        estimated interval."""
+        from two_pass_lanczos_tpu.algorithms.chebyshev import chebyshev_fAb
+
+        d, u, v, p = _random_kkt(rng, m=400, p=120)
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        iv = s.estimate_interval()
+        assert s.estimate_interval() is iv  # cached, eigsh runs once
+        op = tpl.make_kkt_operator(d, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+        # the estimate must enclose the Ritz extremes of a long run
+        import jax
+
+        from two_pass_lanczos_tpu.eigen import eigsh
+
+        hi = float(eigsh(op, nev=1, which="LA", ncv=30,
+                         key=jax.random.key(5)).eigenvalues[-1])
+        lo = float(eigsh(op, nev=1, which="SA", ncv=30,
+                         key=jax.random.key(6)).eigenvalues[0])
+        assert iv[0] <= lo and hi <= iv[1], (iv, lo, hi)
+        x_in = rng.standard_normal(len(d) + p).astype(np.float32)
+        y_f = s.chebyshev_fAb(x_in, "exp", degree=30)  # interval-free
+        y_x = np.asarray(chebyshev_fAb(op, jnp.asarray(x_in), "exp",
+                                       degree=30, interval=iv))
+        np.testing.assert_allclose(y_f, y_x, rtol=2e-4,
+                                   atol=2e-4 * np.abs(y_x).max())

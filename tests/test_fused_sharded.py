@@ -324,3 +324,22 @@ class TestShardedFusedChebyshev:
         with pytest.raises(ValueError, match="sign-definite"):
             sh.chebyshev_fAb(np.ones(len(d) + p, np.float32), "inv",
                              interval=(-1.0, 1.0))
+
+    def test_auto_interval(self, rng):
+        """Interval-free chebyshev_fAb on the sharded fused tier (VERDICT
+        r4 item 7): the cached estimate drives the same expansion as an
+        explicit-interval XLA run."""
+        from two_pass_lanczos_tpu.algorithms.chebyshev import chebyshev_fAb
+
+        d, u, v, p = _random_kkt(rng, m=400, p=120)
+        sh = ShardedFusedKKTSolver(d, u, v, p, make_mesh(2), interpret=True)
+        iv = sh.estimate_interval()
+        assert sh.estimate_interval() is iv  # cached
+        x_in = rng.standard_normal(len(d) + p).astype(np.float32)
+        y_sh = sh.chebyshev_fAb(x_in, "exp", degree=30)  # interval-free
+        op = tpl.make_kkt_operator(d, u, v, p, backend="xla",
+                                   dtype=jnp.float32)
+        y_x = np.asarray(chebyshev_fAb(op, jnp.asarray(x_in), "exp",
+                                       degree=30, interval=iv))
+        np.testing.assert_allclose(y_sh, y_x, rtol=2e-4,
+                                   atol=2e-4 * np.abs(y_x).max())

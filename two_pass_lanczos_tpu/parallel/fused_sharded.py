@@ -111,6 +111,10 @@ class ShardedFusedKKTSolver:
         self.p_hi, self.P2 = lay0.p_hi, lay0.P2
         self.tol = float(breakdown_tolerance(jnp.float32))
         self.ztol = float(zero_tolerance(jnp.float32))
+        # retained host-side for estimate_interval (see FusedKKTSolver)
+        self._kkt_arrays = (quad_costs.astype(np.float32), arc_u, arc_v,
+                            int(num_nodes))
+        self._interval_cache = None
 
         # the kernel is one program across the mesh, so the windowed-gather
         # width must be common: take the max over shards and re-clamp each
@@ -713,7 +717,29 @@ class ShardedFusedKKTSolver:
             key, batch=batch, max_probes=max_probes,
             target_rel_stderr=target_rel_stderr)
 
-    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval,
+    def estimate_interval(self, *, margin: float = 0.05, tol: float = 1e-3,
+                          key=None):
+        """Cached spec(A) interval via two 1-eigenpair eigsh runs on a
+        single-device XLA :class:`operators.KKTOperator` over the same
+        arrays (the interval is a property of A; the implicit operator is
+        ~12 bytes/arc of device memory, cheap even well past the fused
+        cap). Multi-host meshes where a single device cannot hold the
+        implicit operator should pass ``interval`` explicitly or use
+        ``ShardedSparseOperator.estimate_interval`` (VERDICT r4 item 7)."""
+        if self._interval_cache is None:
+            from two_pass_lanczos_tpu.algorithms.chebyshev import (
+                estimate_interval,
+            )
+            from two_pass_lanczos_tpu.operators import KKTOperator
+
+            d, u, v, p = self._kkt_arrays
+            op = KKTOperator(d=jnp.asarray(d), arc_u=jnp.asarray(u),
+                             arc_v=jnp.asarray(v), num_nodes=p)
+            self._interval_cache = estimate_interval(
+                op, margin=margin, tol=tol, key=key)
+        return self._interval_cache
+
+    def chebyshev_fAb(self, b, f, *, degree: int = 100, interval=None,
                       raw: bool = False):
         """Storage-free Chebyshev f(A)·b on the arc-sharded fused path:
         the three-term recurrence runs on the duplicated (xu, xv, xn) rep
@@ -723,11 +749,10 @@ class ShardedFusedKKTSolver:
         storage-free solves at kernel speed for instances beyond the
         VMEM-resident cap.
 
-        ``interval`` ⊇ spec(A) is required (the fused layout has no
-        eigsh; compute it once via
-        ``ShardedSparseOperator.from_kkt_arrays(...).estimate_interval()``
-        or Gershgorin and cache it). Multi-host: ``raw=True`` returns the
-        device pair ``(xu sharded, xn replicated)``.
+        ``interval`` ⊇ spec(A); ``None`` auto-estimates via
+        :meth:`estimate_interval` (cached — compute once, pass explicitly
+        in production). Multi-host: ``raw=True`` returns the device pair
+        ``(xu sharded, xn replicated)``.
         """
         from two_pass_lanczos_tpu.algorithms.chebyshev import (
             chebyshev_coefficients,
@@ -735,6 +760,8 @@ class ShardedFusedKKTSolver:
             validate_interval_for_f,
         )
 
+        if interval is None:
+            interval = self.estimate_interval()
         a_lo, a_hi = float(interval[0]), float(interval[1])
         validate_interval_for_f(f, a_lo, a_hi)
         cs = jnp.asarray(
