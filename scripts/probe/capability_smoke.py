@@ -1,12 +1,20 @@
-"""On-chip f32 smoke of the round-4 capability layer (run on the real TPU).
+"""On-chip f32 smoke of the capability layer (run on the real TPU).
 
 One serialized TPU client; each block prints PASS/FAIL + wall time.
 Validates that the new modules' device paths (batched eigh, device QR,
 fori_loop-with-eigh restart cycle, chebyshev scan, selective-reorth cond)
 compile and produce sane numbers on real hardware — CPU tests cover the
-math, this covers the lowering. Usage: python scripts/probe/capability_smoke.py
+math, this covers the lowering.
+
+Usage: python scripts/probe/capability_smoke.py [--any-backend]
+           [--output results/capability_onchip.json]
+
+``--output`` writes the committed machine-readable artifact pinned by
+``tests/test_results_integrity.py`` (VERDICT r4 item 6: REPORT §13's
+"validated on hardware" claim must have a re-runnable committed proof).
 """
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -15,16 +23,25 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
+RECORDS = []
+
 
 def check(name, fn):
     t0 = time.time()
     try:
         detail = fn()
-        print(f"PASS {name:34s} {time.time() - t0:7.2f}s  {detail}", flush=True)
+        wall = time.time() - t0
+        print(f"PASS {name:34s} {wall:7.2f}s  {detail}", flush=True)
+        RECORDS.append({"name": name, "pass": True,
+                        "wall_s": round(wall, 2), "detail": str(detail)})
         return True
     except Exception as e:  # noqa: BLE001 — smoke harness reports all
-        print(f"FAIL {name:34s} {time.time() - t0:7.2f}s  {type(e).__name__}: {e}",
+        wall = time.time() - t0
+        print(f"FAIL {name:34s} {wall:7.2f}s  {type(e).__name__}: {e}",
               flush=True)
+        RECORDS.append({"name": name, "pass": False,
+                        "wall_s": round(wall, 2),
+                        "detail": f"{type(e).__name__}: {e}"})
         return False
 
 
@@ -146,6 +163,15 @@ def main(argv=None):
     ]
     print(f"{sum(results)}/{len(results)} capability smokes passed on "
           f"{jax.devices()[0].device_kind}", flush=True)
+    if "--output" in argv:
+        out = Path(argv[argv.index("--output") + 1])
+        out.write_text(json.dumps({
+            "device_kind": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "date": time.strftime("%Y-%m-%d"),
+            "blocks": RECORDS,
+        }, indent=1) + "\n")
+        print(f"wrote {out}", flush=True)
     return 0 if all(results) else 1
 
 
