@@ -91,6 +91,14 @@ for arcs in 5000 50000 500000; do
     --output "$OUT/tradeoff_arcs${name}_rho3.csv"
 done
 
+# the reference's host-RSS memory story in its own semantics: with the
+# CPU-f64 backend the Krylov basis lives in host memory, so isolated
+# per-(variant,k) VmPeak orders exactly as the reference's artifact
+$RUN two_pass_lanczos_tpu.experiments.tradeoff \
+  --arcs 500000 --rho 3 --k-start 500 --k-end 1000 --k-step 500 \
+  --isolate --repeats 3 --cpu-f64 \
+  --output "$OUT/tradeoff_arcs500k_rho3_cpu_f64.csv"
+
 # reference-class accuracy ON the accelerator via the double-float path
 # (skipped gracefully on CPU-only hosts: df just runs slower there)
 $RUN two_pass_lanczos_tpu.experiments.stability \
@@ -107,5 +115,9 @@ $RUN two_pass_lanczos_tpu.experiments.dense_tradeoff \
   --size 10000 --k-start 100 --k-end 1000 --k-step 100 \
   --isolate --repeats 5 \
   --output "$OUT/dense_tradeoff.csv"
+
+# on-chip capability validation artifact (REPORT §13; pinned by
+# tests/test_results_integrity.py::test_capability_onchip_artifact)
+python scripts/probe/capability_smoke.py --output "$OUT/capability_onchip.json"
 
 echo "all results written to $OUT/"
