@@ -21,10 +21,16 @@ def main(csv_path: str, out_prefix: str | None = None) -> int:
     df = pd.read_csv(csv_path)
     out_prefix = out_prefix or str(Path(csv_path).with_suffix(""))
 
-    for metric, ylabel, suffix, scale in [
-        ("rss_kb", "Peak memory (MB)", "memory", 1.0 / 1024),
+    panels = [
+        ("rss_kb", "Peak host memory (MB)", "memory", 1.0 / 1024),
         ("time_s", "Wall-clock time (s)", "time", 1.0),
-    ]:
+    ]
+    if "device_peak_kb" in df.columns and df["device_peak_kb"].max() > 0:
+        # on accelerators the O(nk)/O(n) story lives on the device side
+        # (rss_kb is host staging, variant-independent there)
+        panels.append(("device_peak_kb", "Peak device memory (MB)",
+                       "memory_device", 1.0 / 1024))
+    for metric, ylabel, suffix, scale in panels:
         fig, ax = new_fig()
         for variant, grp in df.groupby("variant"):
             grp = grp.sort_values("k")
