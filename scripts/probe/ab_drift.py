@@ -20,9 +20,13 @@ Prints one JSON line: medians, samples, and the A/B ratio.
 import argparse
 import dataclasses as dc
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 
 def main() -> int:

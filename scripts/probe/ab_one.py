@@ -1,5 +1,10 @@
 """Time ONE fused pass_one variant (v1|v2) at k=500/500k — run separately
 per variant to avoid double-compile contention on the tunneled chip."""
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import sys, time
 import importlib.util
 import numpy as np

@@ -1,5 +1,10 @@
 """Same-session A/B of v1 vs v2 STREAMING matvec (chained in-jit, e_scale
 feedback), 500k or 5M arcs."""
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import sys, time, functools
 import importlib.util
 import numpy as np

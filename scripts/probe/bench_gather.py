@@ -1,3 +1,7 @@
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import functools, time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

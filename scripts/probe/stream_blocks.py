@@ -1,5 +1,10 @@
 """Does DMA block size limit the streaming throughput? stream-only kernel
 (y = d*x over all 8 planes + x/y) at 1/2/4/8 chunks per grid step."""
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import sys, time, functools
 import numpy as np
 import jax, jax.numpy as jnp

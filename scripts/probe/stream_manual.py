@@ -21,6 +21,11 @@ Outcomes:
 Usage: python scripts/probe/stream_manual.py [ARCS] [modes...]
 Modes: grid_full grid_stream man_full man_stream man_alu<N>
 """
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import functools
 import sys
 import time

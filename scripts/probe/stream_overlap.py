@@ -26,6 +26,11 @@ but additive gather => (B). Run ONE at a time (tunnel deadlock rule).
 
 Usage: python scripts/probe/stream_overlap.py [ARCS] [alu|gather|both]
 """
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import functools
 import sys
 import time

@@ -5,6 +5,11 @@ disabled, same chained-in-jit methodology as sol_bench.
 Variants: full | no_go (other-endpoint gather replaced by zeros) |
 no_gather (both gathers zero) | stream_only (y = d*x, no gather/scatter).
 """
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import sys, time, functools
 import numpy as np
 import jax, jax.numpy as jnp

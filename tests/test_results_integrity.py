@@ -266,10 +266,6 @@ def test_scalability_device_memory_story():
     assert std[ns[-1]] / two[ns[-1]] >= 20.0
 
 
-@pytest.mark.skipif(
-    not (RESULTS / "capability_onchip.json").exists(),
-    reason="tunnel outage while regenerating — remove this guard when the "
-           "artifact lands (scripts/probe/capability_smoke.py --output)")
 def test_capability_onchip_artifact():
     """REPORT §13's "validated on hardware" claim has a committed,
     re-runnable proof: scripts/probe/capability_smoke.py --output wrote
