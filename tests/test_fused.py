@@ -126,6 +126,18 @@ class TestFusedSolve:
         rel12 = np.linalg.norm(x1 - x2) / np.linalg.norm(x2)
         assert rel12 < 1e-5, rel12
 
+    def test_prepacked_flat_b_bit_identical(self, problem):
+        # solve() accepts the pack_flat() device array directly (skips the
+        # per-call host scatter + tunnel upload for device-resident rhs);
+        # identical program, bit-identical x and decomposition
+        d, u, v, p, b = problem
+        s = FusedKKTSolver(d, u, v, p, interpret=True)
+        x_arr, dec_arr = s.solve(b, k=12, f="inv", raw=True)
+        x_pk, dec_pk = s.solve(s.pack_flat(b), k=12, f="inv", raw=True)
+        np.testing.assert_array_equal(np.asarray(x_pk), np.asarray(x_arr))
+        np.testing.assert_array_equal(np.asarray(dec_pk.alphas),
+                                      np.asarray(dec_arr.alphas))
+
     def test_breakdown_truncates(self, rng):
         # diagonal-only KKT cannot break down easily; force it with b in a
         # 1-D invariant subspace of a *diagonal* top block: use m arcs all

@@ -71,6 +71,19 @@ class TestShardedFused:
         assert int(dec.steps_taken) == 0
         np.testing.assert_array_equal(x, 0.0)
 
+    def test_prepacked_b_bit_identical(self, rng, mesh):
+        # solve() accepts the pack() triple directly (device-resident rhs:
+        # skips the host scatter + upload, ~1.2 s of the 1.45 s end-to-end
+        # at 5M arcs through the tunnel) — identical program, identical x
+        d, u, v, p = _random_kkt(rng, m=1200, p=96)
+        b = rng.standard_normal(len(d) + p).astype(np.float32)
+        s = ShardedFusedKKTSolver(d, u, v, p, mesh, interpret=True)
+        x_arr, dec_arr = s.solve(b, k=12, f="inv")
+        x_pk, dec_pk = s.solve(s.pack(b), k=12, f="inv")
+        np.testing.assert_array_equal(x_pk, x_arr)
+        np.testing.assert_array_equal(np.asarray(dec_pk.alphas),
+                                      np.asarray(dec_arr.alphas))
+
 
 @pytest.mark.parametrize("ndev", [2, 3, 5])
 def test_mesh_sizes_consistent(rng, ndev):

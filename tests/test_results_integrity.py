@@ -185,6 +185,7 @@ def test_bench_json_contract():
     src = (RESULTS.parent / "bench.py").read_text()
     for field in ("metric", "value", "unit", "vs_baseline",
                   "value_min", "samples", "streaming_solve_wallclock_s",
+                  "streaming_solve_device_s",
                   "streaming_us_per_matvec_upper"):
         assert field in src, field
     assert "json.dumps(record)" in src

@@ -1651,7 +1651,13 @@ class FusedKKTSolver:
         ``callback`` (two_pass only) enables in-run early stopping: pass
         one runs via :meth:`pass_one_chunked` in ``callback_chunk``-step
         kernel launches and a stop at step s truncates the solve to s
-        (the reference's in-loop ``LanczosCallback`` break-out)."""
+        (the reference's in-loop ``LanczosCallback`` break-out).
+
+        ``b`` may be the pre-packed flat ``(2R+P2, 128)`` device array
+        (the :meth:`pack_flat` output, or any device computation in the
+        rep): the host scatter + tunnel upload (~30 ms RTT + pack per
+        call) is skipped — the path for device-resident right-hand
+        sides and repeated-solve pipelines."""
         if isinstance(f, tuple) and method == "two_pass" and not self.interpret:
             lay = self.layout
             extra = (len(f) - 1) * (lay.u.R + lay.P2) * LANE * 4
@@ -1662,7 +1668,12 @@ class FusedKKTSolver:
                     "at this instance size; run the functions as separate "
                     "solves (pass one is the cheaper half) or use "
                     "method='one_pass'.")
-        b_flat = self.pack_flat(b)
+        lay = self.layout
+        if (getattr(b, "ndim", 1) == 2
+                and b.shape == (2 * lay.u.R + lay.P2, LANE)):
+            b_flat = jnp.asarray(b)  # pre-packed flat rep, already on device
+        else:
+            b_flat = self.pack_flat(b)
         if callback is not None:
             if method != "two_pass":
                 raise ValueError(

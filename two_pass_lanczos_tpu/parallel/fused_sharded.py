@@ -564,6 +564,13 @@ class ShardedFusedKKTSolver:
         decomposition — pass one runs once and the replay/contract fans the
         accumulate out over all of them (``x`` gains a leading nf axis; the
         one-pass basis slab is stored once regardless of nf).
+
+        ``b`` may be a pre-packed ``(bu, bv, bn)`` device triple (the
+        :meth:`pack` output, or any device computation in the same rep):
+        the host scatter + upload is skipped entirely. At 5M arcs that
+        step costs ~1.2 s through the tunnel (three ~22 MB host→device
+        transfers) against a 0.23 s device-resident solve, so callers whose
+        right-hand side already lives on the device should pass the triple.
         """
         if method == "one_pass":
             need = self.one_pass_basis_bytes(k)
@@ -573,7 +580,11 @@ class ShardedFusedKKTSolver:
                     f"device (k={k}, R={self.R}), over the "
                     f"{self.ONE_PASS_HBM_BUDGET}-byte admission budget; "
                     "use method='two_pass' (O(R) memory) or more devices")
-        packed = self.pack(b)
+        if (isinstance(b, tuple) and len(b) == 3
+                and all(hasattr(x, "dtype") for x in b)):
+            packed = b
+        else:
+            packed = self.pack(b)
         if callback is not None:
             if method != "two_pass":
                 raise ValueError(
