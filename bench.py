@@ -27,12 +27,29 @@ import numpy as np
 #: A daemon watchdog turns that into an honest failure instead of
 #: stalling the driver. Normal runs finish in ~4-8 min incl. compiles
 #: (the 5M-arc streaming leg adds instance generation + layout build +
-#: one scan compile on top of the resident-tier ~2-3 min).
-WATCHDOG_S = 1500
+#: one scan compile on top of the resident-tier ~2-3 min), but the
+#: time-shared chip has been observed to slow 30-50x under contention
+#: (2026-08-19: a trivial 1024² matmul roundtrip took 173 s), so the
+#: wall is generous and the legs are ordered headline-first: if it fires
+#: mid-run, whatever legs already completed are flushed as an honest
+#: partial record (``watchdog_truncated: true``) rather than discarded.
+WATCHDOG_S = 2700
 
 
-def _arm_watchdog():
+def _arm_watchdog(record):
     def fire():
+        try:  # snapshot defensively: the main thread may be mid-update
+            snap = dict(record)
+            line = json.dumps({**snap, "watchdog_truncated": True})
+        except Exception:
+            snap, line = {}, None
+        if snap.get("value") is not None and line is not None:
+            print(f"bench.py watchdog: wall of {WATCHDOG_S}s hit with the "
+                  "headline measured — emitting the completed legs only "
+                  "(chip contention or tunnel loss mid-run).",
+                  file=sys.stderr, flush=True)
+            print(line, flush=True)
+            os._exit(0)
         print(f"bench.py watchdog: no result after {WATCHDOG_S}s — "
               "TPU tunnel presumed down; aborting without a metric.",
               file=sys.stderr, flush=True)
@@ -89,7 +106,8 @@ def main() -> int:
             "error": "tpu_tunnel_down",
         }), flush=True)
         return 3
-    watchdog = _arm_watchdog()
+    record = {}  # populated in place so the watchdog can flush partials
+    watchdog = _arm_watchdog(record)
     import jax
     import jax.numpy as jnp
 
@@ -149,14 +167,14 @@ def main() -> int:
         samples.append(time.perf_counter() - t0)
     t = float(np.median(samples))
 
-    record = {
-        "metric": f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
-        "value": round(t, 4),
-        "unit": "s",
-        "vs_baseline": round(ref_time_s / t, 2),
-        "value_min": round(min(samples), 4),
-        "samples": [round(s, 4) for s in samples],
-    }
+    record.update(
+        metric=f"two_pass_inv_k{k}_arcs{arcs}_rho{rho}_wallclock",
+        value=round(t, 4),
+        unit="s",
+        vs_baseline=round(ref_time_s / t, 2),
+        value_min=round(min(samples), 4),
+        samples=[round(s, 4) for s in samples],
+    )
 
     if backend == "tpu":
         # device-resident headline: pre-packed flat rep skips the per-call
@@ -174,6 +192,34 @@ def main() -> int:
         record["value_device_min_s"] = round(min(d_samples_h), 4)
 
     if backend == "tpu":
+        # k=1000: the reference's own headline tradeoff row (BASELINE.md:10,
+        # two-pass 13.86 s at k=1000 on this exact instance) — its WORST
+        # case, since its per-step cost is constant while the fused kernel
+        # amortizes dispatch over all k steps. Same solver, same rep; only
+        # the loop length changes.
+        try:
+            ref_k1000_s = 13.86  # reference two-pass @ k=1000 (BASELINE.md)
+
+            def run_k1000(bb):
+                x_rep, _ = solver.solve(bb, k=1000, f="inv", raw=True)
+                return float(jnp.sum(x_rep * x_rep))
+
+            run_k1000(sample_input(-1))  # compile
+            k1_samples = []
+            for i in range(4):
+                bb = sample_input(i)
+                t0 = time.perf_counter()
+                run_k1000(bb)
+                k1_samples.append(time.perf_counter() - t0)
+            t_k1 = float(np.median(k1_samples))
+            record.update(
+                k1000_wallclock_s=round(t_k1, 4),
+                k1000_vs_baseline=round(ref_k1000_s / t_k1, 2),
+                k1000_min_s=round(min(k1_samples), 4),
+            )
+        except Exception as e:  # noqa: BLE001 — extra legs must not kill bench
+            record["k1000_error"] = str(e)[:200]
+
         # BASELINE.md per-chip SpMV metric, re-measured every round on the
         # HBM-streaming path (the metric's domain — see PERF.md "Speed-of-
         # light accounting"; the resident fused path above retires it).

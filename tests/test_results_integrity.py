@@ -186,7 +186,9 @@ def test_bench_json_contract():
     for field in ("metric", "value", "unit", "vs_baseline",
                   "value_min", "samples", "streaming_solve_wallclock_s",
                   "streaming_solve_device_s",
-                  "streaming_us_per_matvec_upper"):
+                  "streaming_us_per_matvec_upper",
+                  "k1000_wallclock_s", "k1000_vs_baseline",
+                  "watchdog_truncated"):
         assert field in src, field
     assert "json.dumps(record)" in src
 
