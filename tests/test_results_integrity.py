@@ -269,6 +269,31 @@ def test_scalability_device_memory_story():
     assert std[ns[-1]] / two[ns[-1]] >= 20.0
 
 
+def test_scalability_growth_rate_validates_basis_model():
+    """The reference's memory-growth-model validation, in the column where
+    the basis is physical on an accelerator: regressing the per-n
+    (standard − two-pass) device_peak_kb difference against n must recover
+    the O(nk) basis-slab slope ≈ k·4 B/n (f32) — the TPU analogue of the
+    reference's measured 4008 vs theoretical 4000 B/n in f64 host RSS
+    (``tex/report.tex:464``; ``python/calculate_growth_rate.py``).
+    Measured on the round-5 regenerated artifact: 2248 B/n, r² = 0.987."""
+    from scipy import stats
+
+    rows = _rows("scalability_k500_rho3.csv")
+    k = int(rows[0]["k"])
+    std = {int(r["n"]): float(r["device_peak_kb"])
+           for r in rows if r["variant"] == "standard"}
+    two = {int(r["n"]): float(r["device_peak_kb"])
+           for r in rows if r["variant"] == "two-pass"}
+    ns = sorted(std)
+    diff_kb = [std[n] - two[n] for n in ns]
+    res = stats.linregress(np.asarray(ns, float), np.asarray(diff_kb))
+    bytes_per_n = res.slope * 1024.0
+    theory = k * 4.0  # f32 basis slab
+    assert 0.8 * theory < bytes_per_n < 1.6 * theory, bytes_per_n
+    assert res.rvalue ** 2 > 0.9, res.rvalue**2
+
+
 def test_capability_onchip_artifact():
     """REPORT §13's "validated on hardware" claim has a committed,
     re-runnable proof: scripts/probe/capability_smoke.py --output wrote
