@@ -193,6 +193,36 @@ def test_bench_json_contract():
     assert "json.dumps(record)" in src
 
 
+@pytest.mark.parametrize("with_headline", [True, False])
+def test_bench_watchdog_flushes_partials(with_headline, tmp_path):
+    """The bench watchdog's two exits (exercised in a subprocess — fire()
+    calls os._exit): with a measured headline it flushes the completed
+    legs as one JSON line with watchdog_truncated=true and exits 0; with
+    no headline it emits nothing parseable and exits 3."""
+    import json as _json
+    import subprocess
+    import sys
+
+    code = f"""
+import sys, time
+sys.path.insert(0, {str(RESULTS.parent)!r})
+import bench
+bench.WATCHDOG_S = 0.2
+record = {{"metric": "m", "value": 1.5, "unit": "s"}} if {with_headline} else {{}}
+bench._arm_watchdog(record)
+time.sleep(10)  # fire() must _exit before this returns
+"""
+    r = subprocess.run([sys.executable, "-c", code], timeout=60,
+                       capture_output=True, text=True)
+    if with_headline:
+        assert r.returncode == 0, (r.returncode, r.stderr)
+        rec = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert rec["watchdog_truncated"] is True and rec["value"] == 1.5
+    else:
+        assert r.returncode == 3, (r.returncode, r.stderr)
+        assert "aborting without a metric" in r.stderr
+
+
 def _rows(name):
     return list(csv.DictReader(open(RESULTS / name)))
 
