@@ -99,12 +99,11 @@ $RUN two_pass_lanczos_tpu.experiments.tradeoff \
   --isolate --repeats 3 --cpu-f64 \
   --output "$OUT/tradeoff_arcs500k_rho3_cpu_f64.csv"
 
-# reference-class accuracy ON the accelerator via the double-float path
-# (skipped gracefully on CPU-only hosts: df just runs slower there)
-$RUN two_pass_lanczos_tpu.experiments.stability \
-  --function inv --scenario well-conditioned --size 10000 \
-  --k-min 50 --k-max 200 --k-step 50 --precision df \
-  --output "$OUT/accuracy_inv_well-conditioned_tpu_df.csv"
+# reference-class accuracy ON the accelerator via the double-float path:
+# all four scenarios at the reference's FULL 20-row grid — the published
+# artifacts' schema the integrity suite pins (a partial grid here would
+# break tests/test_results_integrity.py::test_df_grid_matches_reference_grid)
+bash scripts/run_df_accuracy_grid.sh "$OUT"
 
 $RUN two_pass_lanczos_tpu.experiments.scalability \
   --arcs-start 50000 --arcs-end 500000 --arcs-step 50000 --rho 3 --k 500 \
@@ -119,5 +118,29 @@ $RUN two_pass_lanczos_tpu.experiments.dense_tradeoff \
 # on-chip capability validation artifact (REPORT §13; pinned by
 # tests/test_results_integrity.py::test_capability_onchip_artifact)
 python scripts/probe/capability_smoke.py --output "$OUT/capability_onchip.json"
+
+# regenerate the standard figures from the fresh CSVs (the remaining
+# figures — transition, reorth, certificate — were produced above)
+mkdir -p "$OUT/images"
+for fn in exp inv; do
+  for sc in well ill; do
+    python python/plot_stability.py "$OUT/accuracy_${fn}_${sc}-conditioned.csv" \
+      "$OUT/images/accuracy_${fn}_${sc}-conditioned.pdf"
+    python python/plot_orthogonality.py "$OUT/orthogonality_${fn}_${sc}-conditioned.csv" \
+      "$OUT/images/orthogonality_${fn}_${sc}-conditioned.pdf"
+  done
+done
+for name in 5k 50k 500k; do
+  python python/plot_tradeoff.py "$OUT/tradeoff_arcs${name}_rho3.csv" \
+    "$OUT/images/tradeoff_arcs${name}_rho3"
+done
+python python/plot_tradeoff.py "$OUT/tradeoff_arcs500k_rho3_cpu_f64.csv" \
+  "$OUT/images/tradeoff_arcs500k_rho3_cpu_f64"
+python python/plot_scalability.py "$OUT/scalability_k500_rho3.csv" \
+  "$OUT/images/scalability_k500_rho3"
+python python/plot_dense_tradeoff.py "$OUT/dense_tradeoff.csv" \
+  "$OUT/images/dense_tradeoff.pdf"
+python python/plot_df_accuracy.py "$OUT" "$OUT/images/accuracy_df_overlay.pdf"
+python python/calculate_growth_rate.py "$OUT/scalability_k500_rho3.csv"
 
 echo "all results written to $OUT/"
